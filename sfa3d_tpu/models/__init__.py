@@ -1,0 +1,34 @@
+"""Model zoo: KFPN (flagship), deconv CenterNet variant, YOLOv8 (JAX),
+torch-checkpoint porting. `create_model` mirrors the reference dispatch
+(models/model_utils.py:25-43) on arch strings like 'fpn_resnet_18'.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.float32):
+    """Arch string -> flax module (model_utils.py:25-43 dispatch)."""
+    from sfa3d_tpu.models.kfpn import KFPN
+    from sfa3d_tpu.models.centernet_deconv import DeconvCenterNet
+
+    parts = arch.split("_")
+    num_layers = int(parts[-1])
+    if arch.startswith("fpn_resnet"):
+        return KFPN(num_layers=num_layers, head_conv=head_conv, dtype=dtype)
+    if arch.startswith("resnet"):
+        return DeconvCenterNet(num_layers=num_layers, head_conv=head_conv, dtype=dtype)
+    raise ValueError(f"unknown arch: {arch}")
+
+
+def get_num_parameters(params) -> int:
+    """Total trainable parameter count (model_utils.py:46-53)."""
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def clamped_sigmoid(x):
+    """sigmoid clamped to [1e-4, 1 - 1e-4] (utils/torch_utils.py:44-45),
+    computed in float32."""
+    return jnp.clip(jax.nn.sigmoid(x.astype(jnp.float32)), 1e-4, 1.0 - 1e-4)

@@ -1,0 +1,171 @@
+"""Keypoint Feature Pyramid Network (KFPN) detector — the flagship model.
+
+Behavior parity with reference models/fpn_resnet.py:112-301 (PoseResNet):
+ResNet backbone -> top-down pyramid with 1x1 lateral convs and x2 bilinear
+(align_corners=True) upsampling -> per-(level, head) conv towers -> softmax
+attention over pyramid levels ("KFPN fusion", :248-254).
+
+TPU-first details:
+- NHWC + bfloat16 activations; softmax/BN in float32.
+- align_corners=True bilinear x2 upsampling is expressed as two small dense
+  interpolation matmuls (out = A_h @ x @ A_w^T), which XLA maps onto the MXU
+  instead of gather pipelines. Numerically identical to
+  F.interpolate(..., mode='bilinear', align_corners=True).
+- The level-0 head output (1/8 scale) is resized to heatmap size with exact
+  2x nearest (repeat), matching F.interpolate's default nearest mode
+  (fpn_resnet.py:229-231).
+- Head init parity (fpn_resnet.py:265-281): 'hm' final-conv bias = -2.19,
+  other final convs weight ~ N(0, 0.001), bias 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfa3d_tpu.models.resnet import ResNetBackbone
+
+
+HEADS: Dict[str, int] = {
+    "hm_cen": 3,
+    "cen_offset": 2,
+    "direction": 2,
+    "z_coor": 1,
+    "dim": 3,
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _align_corners_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix with align_corners=True:
+    output i samples input coordinate i*(n_in-1)/(n_out-1)."""
+    A = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_out == 1 or n_in == 1:
+        A[:, 0] = 1.0
+        return A
+    scale = (n_in - 1) / (n_out - 1)
+    for i in range(n_out):
+        src = i * scale
+        lo = int(np.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        frac = src - lo
+        A[i, lo] += 1.0 - frac
+        A[i, hi] += frac
+    return A
+
+
+def upsample2x_align_corners(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, 2H, 2W, C) bilinear align_corners=True via MXU
+    matmuls (parity with F.interpolate scale_factor=2, fpn_resnet.py:198-208)."""
+    b, h, w, c = x.shape
+    Ah = jnp.asarray(_align_corners_matrix(h, 2 * h), dtype=x.dtype)
+    Aw = jnp.asarray(_align_corners_matrix(w, 2 * w), dtype=x.dtype)
+    x = jnp.einsum("oh,bhwc->bowc", Ah, x)
+    return jnp.einsum("ow,bhwc->bhoc", Aw, x)
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """Exact 2x nearest resize == repeat (F.interpolate default mode)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class HeadTower(nn.Module):
+    """Conv3x3(fpn_c -> head_conv) + ReLU + Conv1x1(head_conv -> out)
+    (fpn_resnet.py:133-145)."""
+
+    head_conv: int
+    out_channels: int
+    is_hm: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.head_conv, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.relu(x)
+        if self.is_hm:
+            bias_init = nn.initializers.constant(-2.19)
+            kernel_init = nn.initializers.lecun_normal()
+        else:
+            bias_init = nn.initializers.zeros_init()
+            kernel_init = nn.initializers.normal(stddev=0.001)
+        x = nn.Conv(
+            self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
+            kernel_init=kernel_init, bias_init=bias_init, name="conv2",
+        )(x)
+        return x
+
+
+class KFPN(nn.Module):
+    """PoseResNet KFPN (fpn_resnet.py:112-254), NHWC.
+
+    __call__ returns a dict of 5 head tensors at (B, H/4, W/4, C_head),
+    pre-sigmoid. With `capture_features=True` also returns the backbone /
+    pyramid / attention tensors used by the KFPN introspection visualizer
+    (parity with get_visualization_data, fpn_resnet.py:256-263).
+    """
+
+    num_layers: int = 18
+    head_conv: int = 64
+    heads: Tuple[Tuple[str, int], ...] = tuple(sorted(HEADS.items()))
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, capture_features: bool = False):
+        x = x.astype(self.dtype)
+        out1, out2, out3, out4 = ResNetBackbone(
+            self.num_layers, dtype=self.dtype, name="backbone"
+        )(x, train)
+
+        # Top-down pyramid (fpn_resnet.py:197-210). Channel sizes assume the
+        # BasicBlock backbone (18/34); Bottleneck variants scale the laterals.
+        up1 = upsample2x_align_corners(out4)
+        cat1 = jnp.concatenate([up1, out3], axis=-1)
+        up2 = upsample2x_align_corners(
+            nn.Conv(256, (1, 1), use_bias=True, dtype=self.dtype, name="conv_up_level1")(cat1)
+        )
+        cat2 = jnp.concatenate([up2, out2], axis=-1)
+        up3 = upsample2x_align_corners(
+            nn.Conv(128, (1, 1), use_bias=True, dtype=self.dtype, name="conv_up_level2")(cat2)
+        )
+        cat3 = jnp.concatenate([up3, out1], axis=-1)
+        up4 = nn.Conv(64, (1, 1), use_bias=True, dtype=self.dtype, name="conv_up_level3")(cat3)
+
+        levels = (up2, up3, up4)  # 1/8, 1/4, 1/4 resolution
+        ret = {}
+        viz = {"backbone": (out1, out2, out3, out4), "pyramid": levels,
+               "fpn_outputs": {}, "kfpn_weights": {}}
+        for head, out_ch in self.heads:
+            level_outs = []
+            for idx, feat in enumerate(levels):
+                o = HeadTower(
+                    self.head_conv, out_ch, is_hm="hm" in head,
+                    dtype=self.dtype, name=f"fpn{idx}_{head}",
+                )(feat)
+                if o.shape[1] != up4.shape[1] or o.shape[2] != up4.shape[2]:
+                    o = upsample2x_nearest(o)
+                level_outs.append(o)
+            fused, weights = apply_kfpn(level_outs)
+            ret[head] = fused
+            if capture_features:
+                viz["fpn_outputs"][head] = level_outs
+                viz["kfpn_weights"][head] = weights
+        if capture_features:
+            return ret, viz
+        return ret
+
+
+def apply_kfpn(outs):
+    """Softmax over pyramid levels, weighted sum (fpn_resnet.py:248-254).
+    Done in float32 for bf16 safety. Returns (fused, weights)."""
+    stacked = jnp.stack(outs, axis=-1).astype(jnp.float32)  # (B,H,W,C,L)
+    weights = jax.nn.softmax(stacked, axis=-1)
+    fused = jnp.sum(stacked * weights, axis=-1)
+    return fused.astype(outs[0].dtype), weights

@@ -1,0 +1,142 @@
+"""PyTorch checkpoint -> flax variables porting.
+
+Lets reference-trained SFA3D checkpoints (`Model_fpn_resnet_18_epoch_*.pth`
+state_dicts, utils/train_utils.py:96-104) run in this framework, and powers
+the numerical parity tests (our KFPN must reproduce the reference network
+within 1e-3, BASELINE.md).
+
+Layout conversions:
+- Conv2d weight (O, I, kH, kW)         -> flax kernel (kH, kW, I, O)
+- ConvTranspose2d weight (I, O, kH, kW)-> flax kernel (kH, kW, O, I)
+  (our DeconvCenterNet uses transpose_kernel=True which matches torch's
+  gradient-of-conv convention)
+- BatchNorm weight/bias                -> scale/bias params
+  running_mean/running_var             -> batch_stats collection
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _conv_w(w) -> np.ndarray:
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _deconv_w(w) -> np.ndarray:
+    return np.asarray(w).transpose(2, 3, 1, 0)  # (I,O,kH,kW) -> (kH,kW,O,I)
+
+
+def _to_numpy(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _set(tree: dict, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _port_convbn(sd, params, stats, torch_conv, torch_bn, flax_path):
+    _set(params, flax_path + ("conv", "kernel"), _conv_w(sd[f"{torch_conv}.weight"]))
+    if f"{torch_conv}.bias" in sd:
+        _set(params, flax_path + ("conv", "bias"), sd[f"{torch_conv}.bias"])
+    _set(params, flax_path + ("bn", "scale"), sd[f"{torch_bn}.weight"])
+    _set(params, flax_path + ("bn", "bias"), sd[f"{torch_bn}.bias"])
+    _set(stats, flax_path + ("bn", "mean"), sd[f"{torch_bn}.running_mean"])
+    _set(stats, flax_path + ("bn", "var"), sd[f"{torch_bn}.running_var"])
+
+
+def _port_backbone(sd, params, stats, num_layers: int, prefix=("backbone",)):
+    from sfa3d_tpu.models.resnet import RESNET_SPEC, Bottleneck
+
+    block_cls, counts = RESNET_SPEC[num_layers]
+    n_convs = 3 if block_cls is Bottleneck else 2
+
+    _port_convbn(sd, params, stats, "conv1", "bn1", prefix + ("stem",))
+    for stage, blocks in enumerate(counts):
+        for i in range(blocks):
+            t = f"layer{stage + 1}.{i}"
+            f = prefix + (f"layer{stage + 1}_{i}",)
+            for c in range(1, n_convs + 1):
+                _port_convbn(sd, params, stats, f"{t}.conv{c}", f"{t}.bn{c}", f + (f"cb{c}",))
+            if f"{t}.downsample.0.weight" in sd:
+                _port_convbn(
+                    sd, params, stats,
+                    f"{t}.downsample.0", f"{t}.downsample.1", f + ("downsample",),
+                )
+
+
+def port_kfpn_state_dict(state_dict: Mapping[str, Any], num_layers: int = 18):
+    """Reference PoseResNet KFPN state_dict -> flax variables dict
+    {'params': ..., 'batch_stats': ...} for sfa3d_tpu.models.kfpn.KFPN."""
+    from sfa3d_tpu.models.kfpn import HEADS
+
+    sd = _to_numpy(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    _port_backbone(sd, params, stats, num_layers)
+
+    for lvl in (1, 2, 3):
+        _set(params, (f"conv_up_level{lvl}", "kernel"), _conv_w(sd[f"conv_up_level{lvl}.weight"]))
+        _set(params, (f"conv_up_level{lvl}", "bias"), sd[f"conv_up_level{lvl}.bias"])
+
+    for idx in range(3):
+        for head in HEADS:
+            t = f"fpn{idx}_{head}"
+            _set(params, (t, "conv1", "kernel"), _conv_w(sd[f"{t}.0.weight"]))
+            _set(params, (t, "conv1", "bias"), sd[f"{t}.0.bias"])
+            _set(params, (t, "conv2", "kernel"), _conv_w(sd[f"{t}.2.weight"]))
+            _set(params, (t, "conv2", "bias"), sd[f"{t}.2.bias"])
+
+    return {"params": params, "batch_stats": stats}
+
+
+def port_deconv_state_dict(state_dict: Mapping[str, Any], num_layers: int = 18):
+    """Reference deconv PoseResNet (models/resnet.py) -> flax variables for
+    sfa3d_tpu.models.centernet_deconv.DeconvCenterNet."""
+    from sfa3d_tpu.models.kfpn import HEADS
+
+    sd = _to_numpy(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    _port_backbone(sd, params, stats, num_layers)
+
+    for i in range(3):
+        t_conv = f"deconv_layers.{3 * i}"
+        t_bn = f"deconv_layers.{3 * i + 1}"
+        _set(params, (f"deconv{i}", "kernel"), _deconv_w(sd[f"{t_conv}.weight"]))
+        _set(params, (f"deconv_bn{i}", "scale"), sd[f"{t_bn}.weight"])
+        _set(params, (f"deconv_bn{i}", "bias"), sd[f"{t_bn}.bias"])
+        _set(stats, (f"deconv_bn{i}", "mean"), sd[f"{t_bn}.running_mean"])
+        _set(stats, (f"deconv_bn{i}", "var"), sd[f"{t_bn}.running_var"])
+
+    for head in HEADS:
+        f = (f"head_{head}",)
+        _set(params, f + ("conv1", "kernel"), _conv_w(sd[f"{head}.0.weight"]))
+        _set(params, f + ("conv1", "bias"), sd[f"{head}.0.bias"])
+        _set(params, f + ("conv2", "kernel"), _conv_w(sd[f"{head}.2.weight"]))
+        _set(params, f + ("conv2", "bias"), sd[f"{head}.2.bias"])
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str, num_layers: int = 18, arch: str = "fpn_resnet"):
+    """Load a reference .pth checkpoint file into flax variables."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+    if arch.startswith("fpn_resnet"):
+        return port_kfpn_state_dict(sd, num_layers)
+    return port_deconv_state_dict(sd, num_layers)

@@ -1,0 +1,30 @@
+"""Test environment: force the portable CPU backend with 8 virtual devices
+so multi-chip sharding is exercised without TPU hardware (SURVEY.md section 4
+"Implication for the TPU build"). Must run before jax is imported."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The preinstalled 'axon' TPU plugin ignores the JAX_PLATFORMS env var in
+# this image; the config flag does win.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
+    "tests must run on the 8-device virtual CPU mesh, got: " + str(jax.devices())
+)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(2020)

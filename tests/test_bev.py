@@ -1,0 +1,80 @@
+"""BEV rasterizer parity vs. the reference makeBEVMap + filter pipeline."""
+
+import numpy as np
+import pytest
+
+from tests import ref_loader
+from sfa3d_tpu.config import kitti as cnf
+from sfa3d_tpu.ops.bev import filter_and_pad_points, make_bev_map, points_to_bev
+
+
+def synthetic_scan(rng, n=20000):
+    """Random scan covering in- and out-of-range points with unique z."""
+    pts = np.zeros((n, 4), dtype=np.float32)
+    pts[:, 0] = rng.uniform(-10, 60, n)  # x: some out of [0, 50]
+    pts[:, 1] = rng.uniform(-30, 30, n)  # y: some out of [-25, 25]
+    pts[:, 2] = rng.uniform(-4, 3, n)  # z: some out of [-2.73, 1.27]
+    pts[:, 2] += np.arange(n) * 1e-6  # avoid exact z ties (tie-break differs)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    return pts
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference tree absent")
+def test_bev_matches_reference(rng):
+    kitti_bev_utils = ref_loader.load("data_process.kitti_bev_utils")
+    kitti_data_utils = ref_loader.load("data_process.kitti_data_utils")
+
+    scan = synthetic_scan(rng)
+    ref_filtered = kitti_data_utils.get_filtered_lidar(scan.copy(), cnf.boundary)
+    ref_bev = kitti_bev_utils.makeBEVMap(ref_filtered, cnf.boundary)  # (3, H, W)
+
+    ours = make_bev_map(scan)  # (H, W, 3), channels [intensity, height, density]
+    ours_chw = np.transpose(ours, (2, 0, 1))
+
+    # float32 device math vs the reference's float64 numpy: ~1e-5 noise,
+    # far inside the 1e-3 BASELINE tolerance.
+    np.testing.assert_allclose(ours_chw, ref_bev, atol=1e-4)
+
+
+def test_bev_empty_scan():
+    pts = np.zeros((100, 4), dtype=np.float32)
+    pts[:, 0] = -999  # all out of range
+    bev = make_bev_map(pts)
+    assert bev.shape == (cnf.BEV_HEIGHT, cnf.BEV_WIDTH, 3)
+    assert np.all(bev == 0)
+
+
+def test_filter_and_pad_matches_device_filter(rng):
+    """Device in-kernel filtering == host filter_and_pad + device raster."""
+    scan = synthetic_scan(rng, n=5000)
+    padded_raw = np.zeros((8192, 4), dtype=np.float32)
+    padded_raw[:5000] = scan
+    valid_raw = np.zeros(8192, dtype=bool)
+    valid_raw[:5000] = True
+    bev_fused = np.asarray(points_to_bev(padded_raw, valid_raw))
+
+    filtered, fmask = filter_and_pad_points(scan, max_points=8192)
+    # pre-filtered points have shifted z; unshift so the kernel re-shifts
+    filtered = filtered.copy()
+    filtered[fmask, 2] += cnf.boundary["minZ"]
+    bev_two_step = np.asarray(points_to_bev(filtered, fmask))
+
+    np.testing.assert_allclose(bev_fused, bev_two_step, atol=1e-6)
+
+
+def test_density_channel_saturates():
+    """>=63 points in one cell -> density 1.0."""
+    pts = np.zeros((100, 4), dtype=np.float32)
+    pts[:, 0] = 10.0
+    pts[:, 1] = 0.0
+    pts[:, 2] = np.linspace(-1, 1, 100)
+    pts[:, 3] = 0.5
+    bev = make_bev_map(pts)
+    row = int(np.floor(10.0 / cnf.DISCRETIZATION))
+    col = int(np.floor(0.0 / cnf.DISCRETIZATION)) + cnf.BEV_WIDTH // 2
+    assert bev[row, col, 2] == 1.0  # density saturated
+    # height = top z (1.0 - minZ) / 4
+    np.testing.assert_allclose(
+        bev[row, col, 1], (1.0 - cnf.boundary["minZ"]) / cnf.bound_size_z, atol=1e-5
+    )
+    assert bev[row, col, 0] == pytest.approx(0.5)

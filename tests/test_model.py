@@ -1,0 +1,114 @@
+"""Model parity: our flax KFPN / deconv CenterNet with ported weights must
+reproduce the reference torch networks within 1e-3 (BASELINE.md tolerance)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests import ref_loader
+from sfa3d_tpu.models import create_model, get_num_parameters
+from sfa3d_tpu.models.kfpn import HEADS, upsample2x_align_corners, upsample2x_nearest
+from sfa3d_tpu.models.port import port_deconv_state_dict, port_kfpn_state_dict
+from sfa3d_tpu.pipeline import init_detector
+
+
+def _torch_ref_model(arch="fpn_resnet", num_layers=18):
+    import torch
+
+    if arch == "fpn_resnet":
+        mod = ref_loader.load("models.fpn_resnet")
+    else:
+        mod = ref_loader.load("models.resnet")
+    torch.manual_seed(0)
+    model = mod.get_pose_net(
+        num_layers=num_layers, heads=dict(HEADS), head_conv=64, imagenet_pretrained=False
+    )
+    model.eval()
+    return model
+
+
+def test_upsample_align_corners_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.normal(0, 1, (2, 19, 19, 8)).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        scale_factor=2, mode="bilinear", align_corners=True,
+    ).numpy()
+    ours = np.transpose(np.asarray(upsample2x_align_corners(jnp.asarray(x))), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_upsample_nearest_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.normal(0, 1, (1, 76, 76, 4)).astype(np.float32)
+    ref = F.interpolate(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), size=(152, 152)
+    ).numpy()
+    ours = np.transpose(np.asarray(upsample2x_nearest(jnp.asarray(x))), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference tree absent")
+def test_kfpn_matches_reference_with_ported_weights(rng):
+    import torch
+
+    ref_model = _torch_ref_model("fpn_resnet")
+    variables = port_kfpn_state_dict(ref_model.state_dict(), num_layers=18)
+
+    model = create_model("fpn_resnet_18")
+    x = rng.normal(0, 0.5, (1, 128, 128, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for head in HEADS:
+        ref_h = ref_out[head].numpy()
+        ours_h = np.transpose(np.asarray(ours[head]), (0, 3, 1, 2))
+        np.testing.assert_allclose(ours_h, ref_h, atol=1e-3, err_msg=head)
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference tree absent")
+def test_deconv_matches_reference_with_ported_weights(rng):
+    import torch
+
+    ref_model = _torch_ref_model("resnet")
+    variables = port_deconv_state_dict(ref_model.state_dict(), num_layers=18)
+
+    model = create_model("resnet_18")
+    x = rng.normal(0, 0.5, (1, 128, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+    ours = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for head in HEADS:
+        ref_h = ref_out[head].numpy()
+        ours_h = np.transpose(np.asarray(ours[head]), (0, 3, 1, 2))
+        np.testing.assert_allclose(ours_h, ref_h, atol=1e-3, err_msg=head)
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference tree absent")
+def test_param_count_matches_reference():
+    ref_model = _torch_ref_model("fpn_resnet")
+    ref_n = sum(p.numel() for p in ref_model.parameters())
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    assert get_num_parameters(variables["params"]) == ref_n
+
+
+def test_head_shapes():
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(608, 608))
+    out = model.apply(variables, jnp.zeros((2, 608, 608, 3)), train=False)
+    for head, ch in HEADS.items():
+        assert out[head].shape == (2, 152, 152, ch), head
