@@ -1,0 +1,100 @@
+"""Synthetic KITTI-like scene generator.
+
+The only self-contained no-data path in the reference is
+data_process/main_script.py:12-76 (random lidar + boxes + a dummy
+calibration.json). This module generalizes that: structured synthetic scenes
+(ground plane + walls + car-like box clusters with matching labels) with
+realistic point counts, used by the benchmark harness and tests so the whole
+framework runs without the KITTI download.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from sfa3d_tpu.config import kitti as cnf
+
+
+def synthetic_scene(
+    seed: int = 0,
+    n_ground: int = 90000,
+    n_clutter: int = 20000,
+    n_objects: int = 12,
+    points_per_object: int = 1500,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (points (N,4) float32 velodyne, labels (M,8) float32 rows
+    [cls, x, y, z, h, w, l, yaw(velodyne rz)])."""
+    rng = np.random.default_rng(seed)
+
+    ground = np.empty((n_ground, 4), np.float32)
+    r = np.sqrt(rng.uniform(0.02, 1.0, n_ground))  # radial density falloff
+    theta = rng.uniform(-np.pi, np.pi, n_ground)
+    ground[:, 0] = r * 60.0 * np.abs(np.cos(theta))
+    ground[:, 1] = r * 40.0 * np.sin(theta)
+    ground[:, 2] = rng.normal(-1.73, 0.05, n_ground)
+    ground[:, 3] = rng.uniform(0.0, 0.4, n_ground)
+
+    clutter = np.empty((n_clutter, 4), np.float32)
+    clutter[:, 0] = rng.uniform(-10, 60, n_clutter)
+    clutter[:, 1] = rng.uniform(-30, 30, n_clutter)
+    clutter[:, 2] = rng.uniform(-1.7, 1.2, n_clutter)
+    clutter[:, 3] = rng.uniform(0, 1, n_clutter)
+
+    dims_by_class = {
+        0: (1.76, 0.66, 0.84),  # Pedestrian h,w,l
+        1: (1.52, 1.63, 3.88),  # Car
+        2: (1.73, 0.60, 1.76),  # Cyclist
+    }
+    obj_points = []
+    labels = []
+    for _ in range(n_objects):
+        cls = int(rng.integers(0, 3))
+        h, w, l = dims_by_class[cls]
+        h *= rng.uniform(0.9, 1.1)
+        w *= rng.uniform(0.9, 1.1)
+        l *= rng.uniform(0.9, 1.1)
+        x = rng.uniform(5, 45)
+        y = rng.uniform(-20, 20)
+        z = -1.73
+        yaw = rng.uniform(-np.pi, np.pi)
+        # surface-ish samples of the box in its local frame
+        m = points_per_object
+        local = np.empty((m, 3), np.float32)
+        local[:, 0] = rng.uniform(-l / 2, l / 2, m)
+        local[:, 1] = rng.uniform(-w / 2, w / 2, m)
+        local[:, 2] = rng.uniform(0, h, m)
+        face = rng.integers(0, 3, m)
+        local[face == 0, 0] = np.sign(local[face == 0, 0]) * l / 2
+        local[face == 1, 1] = np.sign(local[face == 1, 1]) * w / 2
+        local[face == 2, 2] = h * (local[face == 2, 2] > h / 2)
+        c, s = np.cos(yaw), np.sin(yaw)
+        pts = np.empty((m, 4), np.float32)
+        pts[:, 0] = c * local[:, 0] - s * local[:, 1] + x
+        pts[:, 1] = s * local[:, 0] + c * local[:, 1] + y
+        pts[:, 2] = local[:, 2] + z
+        pts[:, 3] = rng.uniform(0.2, 0.9)
+        obj_points.append(pts)
+        # label yaw convention: build_targets negates (kitti_dataset.py:181),
+        # so store -yaw to make the heatmap target yaw equal `yaw`.
+        labels.append([cls, x, y, z, h, w, l, -yaw])
+
+    points = np.concatenate([ground, clutter] + obj_points).astype(np.float32)
+    rng.shuffle(points, axis=0)
+    return points, np.asarray(labels, np.float32)
+
+
+def synthetic_batch_points(
+    batch: int, max_points: int = cnf.MAX_POINTS, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(B, N, 4) padded scans + (B, N) masks for benchmarking."""
+    from sfa3d_tpu.ops.bev import _pad_raw
+
+    pts = np.zeros((batch, max_points, 4), np.float32)
+    valid = np.zeros((batch, max_points), bool)
+    for b in range(batch):
+        scan, _ = synthetic_scene(seed=seed + b)
+        p, v = _pad_raw(scan, max_points)
+        pts[b], valid[b] = p, v
+    return pts, valid

@@ -1,0 +1,50 @@
+"""Device mesh construction and sharding helpers.
+
+Replaces reference train.py:58-86 (world-size resolution, mp.spawn,
+init_process_group) — in JAX's single-controller model there is nothing to
+spawn; we build a Mesh over the visible devices and annotate shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh (the reference's only parallelism strategy,
+    SURVEY.md section 2.9). `n_devices=None` uses every visible device."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Batch-axis sharding over the data axis — replaces DistributedSampler
+    (kitti_dataloader.py:27-28). `axis` selects which dim is the batch (1
+    for (S, B, ...) gradient-accumulation stacks)."""
+    return NamedSharding(mesh, P(*([None] * axis), DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: int = 0):
+    """Place a host pytree with its batch axis split across the mesh."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    s = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

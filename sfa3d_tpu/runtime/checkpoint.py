@@ -1,0 +1,83 @@
+"""Checkpoint / resume via Orbax.
+
+Replaces the reference's paired torch files
+`Model_{fn}_epoch_{e}.pth` + `Utils_{fn}_epoch_{e}.pth`
+(utils/train_utils.py:80-104, train.py:104-132) with a single composite
+Orbax checkpoint holding params + batch_stats + opt_state + step + epoch.
+Reference-trained .pth checkpoints are importable via models/port.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sfa3d_tpu.parallel.train_step import TrainState
+
+
+def save_checkpoint(checkpoints_dir: str, saved_fn: str, state: TrainState, epoch: int):
+    """Save a full training checkpoint for `epoch` (train_utils.py:96-104)."""
+    path = os.path.abspath(
+        os.path.join(checkpoints_dir, f"Model_{saved_fn}_epoch_{epoch}")
+    )
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "epoch": np.asarray(epoch, np.int32),
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, template_state: TrainState, epoch_hint: int = 0):
+    """Restore (state, epoch). `template_state` supplies the pytree structure
+    and shardings (reference resume flow, train.py:111-132)."""
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "step": template_state.step,
+        "params": template_state.params,
+        "batch_stats": template_state.batch_stats,
+        "opt_state": template_state.opt_state,
+        "epoch": np.asarray(epoch_hint, np.int32),
+    }
+    restored = ckptr.restore(os.path.abspath(path), template)
+    state = template_state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    return state, int(restored["epoch"])
+
+
+def load_pretrained_params(state: TrainState, variables: dict) -> TrainState:
+    """Weights-only load (reference --pretrained_path, train.py:104-108):
+    keep optimizer state, replace params/batch_stats."""
+    return state.replace(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", state.batch_stats),
+    )
+
+
+def latest_checkpoint(checkpoints_dir: str, saved_fn: str) -> Optional[str]:
+    if not os.path.isdir(checkpoints_dir):
+        return None
+    prefix = f"Model_{saved_fn}_epoch_"
+    epochs = []
+    for name in os.listdir(checkpoints_dir):
+        if name.startswith(prefix):
+            try:
+                epochs.append(int(name[len(prefix):]))
+            except ValueError:
+                continue
+    if not epochs:
+        return None
+    return os.path.join(checkpoints_dir, f"{prefix}{max(epochs)}")

@@ -1,0 +1,174 @@
+"""Training runtime: sharded train step, grad accumulation, schedules,
+checkpoint/resume — exercised on the 8-device virtual CPU mesh."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sfa3d_tpu.config.train import OptimConfig
+from sfa3d_tpu.models import create_model
+from sfa3d_tpu.parallel import (
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+    replicate,
+)
+from sfa3d_tpu.pipeline import init_detector
+from sfa3d_tpu.runtime.schedules import create_lr_schedule, create_optimizer
+
+
+def synthetic_batch(rng, s=1, b=8, hw=64, hm=16, k=50):
+    """Tiny synthetic batch: S accumulation slices of B samples."""
+    bev = rng.uniform(0, 1, (s, b, hw, hw, 3)).astype(np.float32)
+    n_obj = 3
+    obj_mask = np.zeros((s, b, k), np.float32)
+    obj_mask[..., :n_obj] = 1
+    inds = rng.integers(0, hm * hm, (s, b, k)).astype(np.int64)
+    inds = (inds * obj_mask).astype(np.int64)
+    hm_gt = np.zeros((s, b, hm, hm, 3), np.float32)
+    for si in range(s):
+        for bi in range(b):
+            for j in range(n_obj):
+                y, x = np.unravel_index(inds[si, bi, j], (hm, hm))
+                hm_gt[si, bi, y, x, int(rng.integers(0, 3))] = 1.0
+    targets = {
+        "hm_cen": hm_gt,
+        "cen_offset": (rng.uniform(0, 1, (s, b, k, 2)) * obj_mask[..., None]).astype(np.float32),
+        "direction": (rng.uniform(-1, 1, (s, b, k, 2)) * obj_mask[..., None]).astype(np.float32),
+        "z_coor": (rng.uniform(0, 4, (s, b, k, 1)) * obj_mask[..., None]).astype(np.float32),
+        "dim": (rng.uniform(0.5, 4, (s, b, k, 3)) * obj_mask[..., None]).astype(np.float32),
+        "indices_center": inds,
+        "obj_mask": obj_mask,
+    }
+    return {"bev": bev, "targets": targets}
+
+
+def _small_model_and_state(tx):
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    return model, create_train_state(model, variables, tx)
+
+
+def test_train_step_loss_decreases_on_mesh(rng):
+    mesh = make_mesh(8)
+    cfg = OptimConfig(optimizer_type="adam", lr=1e-3, lr_type="cosin")
+    tx = create_optimizer(cfg, num_epochs=10, steps_per_epoch=5)
+    model, state = _small_model_and_state(tx)
+    state = replicate(mesh, state)
+    step = make_train_step(model, tx, mesh)
+
+    batch = shard_batch(mesh, synthetic_batch(rng), axis=1)
+    losses = []
+    for _ in range(8):
+        state, stats = step(state, batch)
+        losses.append(float(stats["total_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    # params replicated identically across devices (no divergence)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_grad_accumulation_sums_micro_batches(rng):
+    """One step on (S=2, B) must equal one step on the concatenated batch
+    ONLY in the summed-gradient sense: verify against manual grad sums."""
+    mesh = make_mesh(1)
+    cfg = OptimConfig(optimizer_type="sgd", lr=1e-2, lr_type="multi_step", steps=(100, 200))
+    tx = create_optimizer(cfg, num_epochs=300, steps_per_epoch=1)
+    model, state = _small_model_and_state(tx)
+    step = make_train_step(model, tx, mesh)
+
+    batch = synthetic_batch(rng, s=2, b=2)
+    # snapshot before the step: donate_argnums frees the state buffers
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+    bstats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    opt0 = jax.tree_util.tree_map(np.asarray, state.opt_state)
+    new_state, _ = step(replicate(mesh, state), shard_batch(mesh, batch, axis=1))
+
+    # manual: sum of per-slice grads
+    from sfa3d_tpu.parallel.train_step import _loss_and_updates
+    import optax
+
+    def grad_of_slice(i, bstats):
+        (_, (_, nb)), g = jax.value_and_grad(
+            lambda p: _loss_and_updates(
+                model, p, bstats, batch["bev"][i],
+                jax.tree_util.tree_map(lambda t: t[i], batch["targets"]),
+            ),
+            has_aux=True,
+        )(params0)
+        return g, nb
+
+    g0, bs1 = grad_of_slice(0, bstats0)
+    g1, _ = grad_of_slice(1, bs1)
+    gsum = jax.tree_util.tree_map(jnp.add, g0, g1)
+    updates, _ = tx.update(gsum, opt0, params0)
+    manual_params = optax.apply_updates(params0, updates)
+
+    flat_a = jax.tree_util.tree_leaves(new_state.params)
+    flat_b = jax.tree_util.tree_leaves(manual_params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_eval_step(rng):
+    mesh = make_mesh(8)
+    cfg = OptimConfig()
+    tx = create_optimizer(cfg, 10, 5)
+    model, state = _small_model_and_state(tx)
+    state = replicate(mesh, state)
+    ev = make_eval_step(model, mesh)
+    b = synthetic_batch(rng)
+    batch = {"bev": b["bev"][0], "targets": jax.tree_util.tree_map(lambda t: t[0], b["targets"])}
+    stats = ev(state, shard_batch(mesh, batch))
+    assert np.isfinite(float(stats["total_loss"]))
+
+
+@pytest.mark.parametrize("lr_type", ["cosin", "multi_step", "one_cycle"])
+def test_lr_schedules_match_reference_formulas(lr_type):
+    num_epochs, spe = 300, 10
+    cfg = OptimConfig(lr=1e-3, lr_type=lr_type, steps=(150, 180))
+    sched = create_lr_schedule(cfg, num_epochs, spe)
+
+    phase = int(0.45 * num_epochs)
+    for epoch in [0, 1, 50, 134, 135, 149, 150, 179, 180, 269, 270, 299]:
+        got = float(sched(epoch * spe))
+        if lr_type == "cosin":
+            want = 1e-3 * ((((1 + math.cos(epoch * math.pi / num_epochs)) / 2)) * 0.9 + 0.1)
+        elif lr_type == "multi_step":
+            want = 1e-3 * (1.0 if epoch < 150 else 0.1 if epoch < 180 else 0.01)
+        else:  # one_cycle: np.linspace semantics (lr_scheduler.py:277-282)
+            lr = 1e-3
+            up = np.linspace(lr * 0.1, lr, phase)
+            down = np.linspace(lr, lr * 0.1, phase)
+            tail = np.linspace(lr * 0.1, lr * 0.01, num_epochs - 2 * phase)
+            want = float(np.hstack([up, down, tail])[epoch])
+        assert got == pytest.approx(want, rel=1e-5), (lr_type, epoch)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from sfa3d_tpu.runtime.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+
+    cfg = OptimConfig()
+    tx = create_optimizer(cfg, 10, 5)
+    model, state = _small_model_and_state(tx)
+    step = make_train_step(model, tx)
+    state, _ = step(state, synthetic_batch(rng, b=2))
+    path = save_checkpoint(str(tmp_path), "t", state, epoch=3)
+
+    _, fresh = _small_model_and_state(tx)
+    restored, epoch = load_checkpoint(path, fresh)
+    assert epoch == 3
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert latest_checkpoint(str(tmp_path), "t") == path
