@@ -1,0 +1,165 @@
+"""Camera-LiDAR detection fusion: the three reference strategies as
+fixed-K masked array programs.
+
+Detection sets are (K, 4) xywh boxes + (K,) scores + (K,) class ids +
+(K,) valid masks. Fused outputs keep 2K slots (matched pairs collapse into
+the YOLO slot; unmatched pass through) plus a `source` code:
+0 = YOLO pass-through, 1 = SFA3D pass-through, 2 = fused.
+
+Parity:
+- greedy_match         <-> the best-IoU matching loop shared by test5.py:224-240
+  and test6.py:242-258 (YOLO dets scanned in input order; each claims the
+  unmatched SFA det with max IoU if that max >= threshold).
+- fuse_weighted        <-> fuse_overlapping_detections (test5.py:213-282):
+  confidence-weighted box average, fused conf = max.
+- fuse_bayesian        <-> bayesian_inspired_fuse_overlapping_detections
+  (test6.py:231-309): per-coordinate inverse-variance fusion with
+  confidence_to_variance (pos var 100, dim var 50), conf = max.
+- fuse_union_nms       <-> test4.py's union + hard NMS.
+
+Fused box coordinates are int-truncated exactly like the reference
+(`int(fused_x)`, test5.py:257-260 / test6.py:293).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sfa3d_tpu.fusion.iou import pairwise_iou_xywh
+from sfa3d_tpu.fusion.nms import hard_nms
+
+
+class DetectionSet(NamedTuple):
+    boxes: jax.Array  # (K, 4) xywh
+    scores: jax.Array  # (K,)
+    classes: jax.Array  # (K,) int32
+    valid: jax.Array  # (K,) bool
+
+
+def confidence_to_variance(
+    confidence, max_variance_pixels=100.0, min_confidence_threshold=0.1
+):
+    """test6.py:212-215."""
+    confidence = jnp.asarray(confidence, jnp.float32)
+    return jnp.where(
+        confidence < min_confidence_threshold,
+        max_variance_pixels * 100.0,
+        max_variance_pixels * (1.0 - confidence) / (confidence + 0.01),
+    )
+
+
+def fuse_gaussian_parameters(mean1, var1, mean2, var2):
+    """Inverse-variance fusion of two scalars (test6.py:218-229)."""
+    eps = 1e-6
+    iv1 = 1.0 / jnp.maximum(var1, eps)
+    iv2 = 1.0 / jnp.maximum(var2, eps)
+    fused_mean = (mean1 * iv1 + mean2 * iv2) / (iv1 + iv2)
+    return fused_mean, 1.0 / (iv1 + iv2)
+
+
+def greedy_match(
+    yolo: DetectionSet, sfa: DetectionSet, fusion_iou_threshold: float
+):
+    """Sequential best-IoU matching (see module docstring).
+
+    Returns (match_idx (Ky,) int32: index into sfa or -1,
+             sfa_matched (Ks,) bool).
+    """
+    iou = pairwise_iou_xywh(yolo.boxes, sfa.boxes)  # (Ky, Ks)
+    iou = jnp.where(yolo.valid[:, None] & sfa.valid[None, :], iou, -1.0)
+    ky = yolo.boxes.shape[0]
+
+    def body(i, carry):
+        match_idx, sfa_matched = carry
+        row = jnp.where(sfa_matched, -1.0, iou[i])
+        j = jnp.argmax(row)  # ties -> lowest index, matching '>' in the loop
+        # the reference requires iou > max_iou(init 0) AND iou >= threshold,
+        # so zero-IoU pairs never match even at threshold 0
+        ok = (row[j] >= fusion_iou_threshold) & (row[j] > 0)
+        match_idx = match_idx.at[i].set(jnp.where(ok, j, -1))
+        sfa_matched = sfa_matched.at[j].set(sfa_matched[j] | ok)
+        return match_idx, sfa_matched
+
+    init = (
+        jnp.full((ky,), -1, jnp.int32),
+        jnp.zeros(sfa.valid.shape, bool),
+    )
+    return jax.lax.fori_loop(0, ky, body, init)
+
+
+def _assemble(yolo: DetectionSet, sfa: DetectionSet, fused_boxes, fused_conf,
+              match_idx, sfa_matched):
+    """Stack fused/pass-through YOLO slots with unmatched SFA slots."""
+    matched = match_idx >= 0
+    out_boxes = jnp.concatenate(
+        [jnp.where(matched[:, None], fused_boxes, yolo.boxes), sfa.boxes]
+    )
+    out_scores = jnp.concatenate(
+        [jnp.where(matched, fused_conf, yolo.scores), sfa.scores]
+    )
+    out_classes = jnp.concatenate([yolo.classes, sfa.classes])
+    out_valid = jnp.concatenate([yolo.valid, sfa.valid & ~sfa_matched])
+    source = jnp.concatenate(
+        [jnp.where(matched, 2, 0), jnp.ones(sfa.valid.shape, jnp.int32)]
+    )
+    return DetectionSet(out_boxes, out_scores, out_classes, out_valid), source
+
+
+@jax.jit
+def fuse_weighted(yolo: DetectionSet, sfa: DetectionSet, fusion_iou_threshold: float = 0.8):
+    """Confidence-weighted box averaging (test5.py:213-282)."""
+    match_idx, sfa_matched = greedy_match(yolo, sfa, fusion_iou_threshold)
+    j = jnp.maximum(match_idx, 0)
+    sboxes = sfa.boxes[j]
+    sconf = sfa.scores[j]
+    total = yolo.scores + sconf
+    wy = jnp.where(total == 0, 0.5, yolo.scores / jnp.maximum(total, 1e-12))
+    ws = jnp.where(total == 0, 0.5, sconf / jnp.maximum(total, 1e-12))
+    fused_boxes = jnp.trunc(wy[:, None] * yolo.boxes + ws[:, None] * sboxes)
+    fused_conf = jnp.maximum(yolo.scores, sconf)
+    return _assemble(yolo, sfa, fused_boxes, fused_conf, match_idx, sfa_matched)
+
+
+@jax.jit
+def fuse_bayesian(yolo: DetectionSet, sfa: DetectionSet, fusion_iou_threshold: float = 0.7):
+    """Inverse-variance ("Bayesian-inspired") fusion (test6.py:231-309)."""
+    match_idx, sfa_matched = greedy_match(yolo, sfa, fusion_iou_threshold)
+    j = jnp.maximum(match_idx, 0)
+    sboxes = sfa.boxes[j]
+    sconf = sfa.scores[j]
+
+    var_pos_y = confidence_to_variance(yolo.scores, 100.0)
+    var_dim_y = confidence_to_variance(yolo.scores, 50.0)
+    var_pos_s = confidence_to_variance(sconf, 100.0)
+    var_dim_s = confidence_to_variance(sconf, 50.0)
+
+    fx, _ = fuse_gaussian_parameters(yolo.boxes[:, 0], var_pos_y, sboxes[:, 0], var_pos_s)
+    fy, _ = fuse_gaussian_parameters(yolo.boxes[:, 1], var_pos_y, sboxes[:, 1], var_pos_s)
+    fw, _ = fuse_gaussian_parameters(yolo.boxes[:, 2], var_dim_y, sboxes[:, 2], var_dim_s)
+    fh, _ = fuse_gaussian_parameters(yolo.boxes[:, 3], var_dim_y, sboxes[:, 3], var_dim_s)
+    fused_boxes = jnp.trunc(jnp.stack([fx, fy, fw, fh], axis=-1))
+    fused_conf = jnp.maximum(yolo.scores, sconf)
+    return _assemble(yolo, sfa, fused_boxes, fused_conf, match_idx, sfa_matched)
+
+
+@jax.jit
+def fuse_union_nms(yolo: DetectionSet, sfa: DetectionSet, nms_threshold: float = 0.5):
+    """Union of both detection sets + greedy hard NMS (test4.py flow)."""
+    boxes = jnp.concatenate([yolo.boxes, sfa.boxes])
+    scores = jnp.concatenate([yolo.scores, sfa.scores])
+    classes = jnp.concatenate([yolo.classes, sfa.classes])
+    valid = jnp.concatenate([yolo.valid, sfa.valid])
+    keep = hard_nms(boxes, scores, valid, nms_threshold)
+    source = jnp.concatenate(
+        [jnp.zeros(yolo.valid.shape, jnp.int32), jnp.ones(sfa.valid.shape, jnp.int32)]
+    )
+    return DetectionSet(boxes, scores, classes, valid & keep), source
+
+
+def filter_by_confidence(dets: DetectionSet, confidence_threshold: float) -> DetectionSet:
+    """Pre-fusion confidence gate (create_fused_detections_wrapper,
+    test6.py:310-348)."""
+    return dets._replace(valid=dets.valid & (dets.scores >= confidence_threshold))

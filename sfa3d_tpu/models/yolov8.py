@@ -1,0 +1,442 @@
+"""YOLOv8 re-implemented in JAX/flax (NHWC), with ultralytics weight import.
+
+The reference consumes YOLOv8n as a black box (`YOLO('yolov8n.pt')`,
+test3.py:470-472; `yolov8_detect` helper duplicated across test2-6/slam/
+msac). A TPU-native framework cannot call ultralytics, so the full network
+is built here from the published architecture:
+
+  backbone: Conv stem -> (Conv s2, C2f) x4 -> SPPF
+  neck:     PAN-FPN (upsample+concat C2f top-down, strided-Conv bottom-up)
+  head:     per-level box branch (4*reg_max DFL logits) + class branch
+  decode:   DFL softmax-expectation -> ltrb distances -> xyxy at anchor
+            points, sigmoid class scores -> fixed-K per-class NMS
+
+Width/depth/ratio presets cover n/s/m/l/x scales (n is the reference's
+choice). Activations: SiLU. Layout NHWC, bf16-capable like the rest of the
+framework.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (depth_mult, width_mult, max_channels)
+SCALES = {
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "l": (1.0, 1.00, 512),
+    "x": (1.0, 1.25, 512),
+}
+
+REG_MAX = 16
+STRIDES = (8, 16, 32)
+
+# COCO class names (parity with models/coco.names used by the cv2.dnn path).
+COCO_NAMES = (
+    "person bicycle car motorcycle airplane bus train truck boat traffic_light "
+    "fire_hydrant stop_sign parking_meter bench bird cat dog horse sheep cow "
+    "elephant bear zebra giraffe backpack umbrella handbag tie suitcase frisbee "
+    "skis snowboard sports_ball kite baseball_bat baseball_glove skateboard "
+    "surfboard tennis_racket bottle wine_glass cup fork knife spoon bowl banana "
+    "apple sandwich orange broccoli carrot hot_dog pizza donut cake chair couch "
+    "potted_plant bed dining_table toilet tv laptop mouse remote keyboard "
+    "cell_phone microwave oven toaster sink refrigerator book clock vase "
+    "scissors teddy_bear hair_drier toothbrush"
+).split()
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(math.ceil(x / divisor) * divisor))
+
+
+class ConvBnSiLU(nn.Module):
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)], use_bias=False, dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            dtype=jnp.float32, name="bn",
+        )(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBnSiLU(self.features, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnSiLU(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        y = ConvBnSiLU(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(c, self.shortcut, dtype=self.dtype, name=f"m{i}")(
+                    parts[-1], train
+                )
+            )
+        y = jnp.concatenate(parts, axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    features: int
+    pool: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1] // 2
+        y = ConvBnSiLU(c, 1, dtype=self.dtype, name="cv1")(x, train)
+        p = self.pool // 2
+        pool = lambda t: nn.max_pool(
+            t, (self.pool, self.pool), strides=(1, 1), padding=[(p, p), (p, p)]
+        )
+        y1 = pool(y)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        y = jnp.concatenate([y, y1, y2, y3], axis=-1)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class DetectHead(nn.Module):
+    """Per-level box (DFL logits) + class branches (anchor-free)."""
+
+    num_classes: int
+    ch: Sequence[int]  # per-level input channels
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        c2 = max(16, self.ch[0] // 4, REG_MAX * 4)
+        c3 = max(self.ch[0], min(self.num_classes, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            box = ConvBnSiLU(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            box = ConvBnSiLU(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(box, train)
+            box = nn.Conv(4 * REG_MAX, (1, 1), use_bias=True, dtype=self.dtype,
+                          name=f"cv2_{i}_2")(box)
+            cls = ConvBnSiLU(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            cls = ConvBnSiLU(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(cls, train)
+            cls = nn.Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype,
+                          name=f"cv3_{i}_2")(cls)
+            outs.append((box, cls))
+        return outs
+
+
+class YOLOv8(nn.Module):
+    """Full detector. __call__ -> list of (box_logits, cls_logits) per level
+    (NHWC, strides 8/16/32)."""
+
+    scale: str = "n"
+    num_classes: int = 80
+    dtype: Any = jnp.float32
+
+    def widths(self) -> List[int]:
+        _, w, mc = SCALES[self.scale]
+        return [
+            _make_divisible(min(c, mc) * w)
+            for c in (64, 128, 256, 512, 1024)
+        ]
+
+    def depths(self) -> List[int]:
+        d, _, _ = SCALES[self.scale]
+        return [max(1, round(n * d)) for n in (3, 6, 6, 3)]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        w1, w2, w3, w4, w5 = self.widths()
+        d1, d2, d3, d4 = self.depths()
+        x = x.astype(self.dtype)
+
+        # backbone
+        x = ConvBnSiLU(w1, 3, 2, dtype=self.dtype, name="stem")(x, train)  # P1
+        x = ConvBnSiLU(w2, 3, 2, dtype=self.dtype, name="down1")(x, train)  # P2
+        x = C2f(w2, d1, True, dtype=self.dtype, name="c2f1")(x, train)
+        x = ConvBnSiLU(w3, 3, 2, dtype=self.dtype, name="down2")(x, train)  # P3
+        p3 = C2f(w3, d2, True, dtype=self.dtype, name="c2f2")(x, train)
+        x = ConvBnSiLU(w4, 3, 2, dtype=self.dtype, name="down3")(p3, train)  # P4
+        p4 = C2f(w4, d3, True, dtype=self.dtype, name="c2f3")(x, train)
+        x = ConvBnSiLU(w5, 3, 2, dtype=self.dtype, name="down4")(p4, train)  # P5
+        x = C2f(w5, d4, True, dtype=self.dtype, name="c2f4")(x, train)
+        p5 = SPPF(w5, 5, dtype=self.dtype, name="sppf")(x, train)
+
+        # neck (PAN-FPN)
+        up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+        x = jnp.concatenate([up(p5), p4], axis=-1)
+        n4 = C2f(w4, d4, False, dtype=self.dtype, name="n_c2f1")(x, train)
+        x = jnp.concatenate([up(n4), p3], axis=-1)
+        n3 = C2f(w3, d4, False, dtype=self.dtype, name="n_c2f2")(x, train)  # P3 out
+        x = ConvBnSiLU(w3, 3, 2, dtype=self.dtype, name="n_down1")(n3, train)
+        x = jnp.concatenate([x, n4], axis=-1)
+        n4o = C2f(w4, d4, False, dtype=self.dtype, name="n_c2f3")(x, train)  # P4 out
+        x = ConvBnSiLU(w4, 3, 2, dtype=self.dtype, name="n_down2")(n4o, train)
+        x = jnp.concatenate([x, p5], axis=-1)
+        n5o = C2f(w5, d4, False, dtype=self.dtype, name="n_c2f4")(x, train)  # P5 out
+
+        return DetectHead(
+            self.num_classes, (w3, w4, w5), dtype=self.dtype, name="detect"
+        )([n3, n4o, n5o], train)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def dfl_expectation(box_logits: jax.Array) -> jax.Array:
+    """(..., 4*REG_MAX) DFL logits -> (..., 4) ltrb distances via
+    softmax-expectation over the 16 bins per side."""
+    shape = box_logits.shape[:-1] + (4, REG_MAX)
+    probs = jax.nn.softmax(box_logits.astype(jnp.float32).reshape(shape), axis=-1)
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    return jnp.sum(probs * bins, axis=-1)
+
+
+def decode_predictions(
+    level_outputs: Sequence[Tuple[jax.Array, jax.Array]],
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-level head outputs -> (boxes_xyxy (B, A, 4) in input pixels,
+    scores (B, A, C) sigmoid class probabilities), A = sum of level anchors."""
+    all_boxes, all_scores = [], []
+    for (box_logits, cls_logits), stride in zip(level_outputs, STRIDES):
+        b, h, w, _ = box_logits.shape
+        ltrb = dfl_expectation(box_logits)  # (B, H, W, 4)
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)[None, :, None]
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, None, :]
+        x1 = (xs - ltrb[..., 0]) * stride
+        y1 = (ys - ltrb[..., 1]) * stride
+        x2 = (xs + ltrb[..., 2]) * stride
+        y2 = (ys + ltrb[..., 3]) * stride
+        boxes = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(b, h * w, 4)
+        scores = jax.nn.sigmoid(cls_logits.astype(jnp.float32)).reshape(
+            b, h * w, cls_logits.shape[-1]
+        )
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+    return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_scores, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_det",))
+def select_detections(
+    boxes: jax.Array,
+    scores: jax.Array,
+    conf_thresh: float = 0.25,
+    iou_thresh: float = 0.45,
+    max_det: int = 100,
+):
+    """Ultralytics-style postprocess for ONE image: best class per anchor,
+    confidence gate, class-offset NMS, top max_det. Returns
+    (boxes_xyxy (max_det, 4), scores (max_det,), classes (max_det,),
+    valid (max_det,)).
+    """
+    from sfa3d_tpu.fusion.nms import hard_nms
+
+    cls = jnp.argmax(scores, axis=-1)
+    conf = jnp.max(scores, axis=-1)
+    # pre-select top max_det*4 candidates to bound the NMS problem size
+    n_cand = min(4 * max_det, conf.shape[0])
+    top_conf, top_idx = jax.lax.top_k(conf, n_cand)
+    top_boxes = boxes[top_idx]
+    top_cls = cls[top_idx]
+    valid = top_conf > conf_thresh
+
+    # per-class NMS via the class-offset trick on xywh boxes
+    offset = top_cls.astype(jnp.float32)[:, None] * 4096.0
+    xywh = jnp.stack(
+        [
+            top_boxes[:, 0],
+            top_boxes[:, 1],
+            top_boxes[:, 2] - top_boxes[:, 0],
+            top_boxes[:, 3] - top_boxes[:, 1],
+        ],
+        axis=-1,
+    )
+    xywh_off = xywh.at[:, :2].add(offset)
+    keep = hard_nms(xywh_off, top_conf, valid, iou_thresh)
+
+    final_conf = jnp.where(keep, top_conf, -1.0)
+    sel_conf, sel = jax.lax.top_k(final_conf, max_det)
+    return (
+        top_boxes[sel],
+        jnp.where(sel_conf > 0, sel_conf, 0.0),
+        top_cls[sel],
+        sel_conf > 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side preprocessing + one-call detector (yolov8_detect parity)
+# ---------------------------------------------------------------------------
+
+
+def letterbox(img: np.ndarray, new_shape: int = 640, stride: int = 32):
+    """Resize + pad to a stride-multiple square, ultralytics-style.
+    Returns (image float32 /255 RGB (H, W, 3), scale, (pad_w, pad_h))."""
+    import cv2
+
+    h, w = img.shape[:2]
+    r = min(new_shape / h, new_shape / w)
+    nw, nh = round(w * r), round(h * r)
+    pad_w, pad_h = (new_shape - nw) / 2, (new_shape - nh) / 2
+    if (nw, nh) != (w, h):
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top, bottom = round(pad_h - 0.1), round(pad_h + 0.1)
+    left, right = round(pad_w - 0.1), round(pad_w + 0.1)
+    img = cv2.copyMakeBorder(
+        img, top, bottom, left, right, cv2.BORDER_CONSTANT, value=(114, 114, 114)
+    )
+    return img.astype(np.float32) / 255.0, r, (left, top)
+
+
+class YOLOv8Detector:
+    """One-call detector mirroring the reference `yolov8_detect` helper
+    (test6.py:189-209): image -> ([x, y, w, h] int boxes, confidences,
+    class ids) in ORIGINAL image pixels."""
+
+    def __init__(self, scale: str = "n", num_classes: int = 80,
+                 variables=None, rng=None, dtype=jnp.float32, imgsz: int = 640):
+        self.model = YOLOv8(scale=scale, num_classes=num_classes, dtype=dtype)
+        self.imgsz = imgsz
+        if variables is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            variables = self.model.init(
+                rng, jnp.zeros((1, imgsz, imgsz, 3), jnp.float32), train=False
+            )
+        self.variables = variables
+
+        @jax.jit
+        def _run(variables, img):
+            outs = self.model.apply(variables, img, train=False)
+            boxes, scores = decode_predictions(outs)
+            return select_detections(boxes[0], scores[0])
+
+        self._run = _run
+
+    def __call__(self, image_rgb: np.ndarray, conf: float = 0.25):
+        img, r, (pad_w, pad_h) = letterbox(image_rgb, self.imgsz)
+        b, s, c, v = self._run(self.variables, jnp.asarray(img)[None])
+        b, s, c, v = map(np.asarray, (b, s, c, v))
+        keep = v & (s >= conf)
+        b = b[keep]
+        # undo letterbox: back to original pixels
+        b[:, [0, 2]] = (b[:, [0, 2]] - pad_w) / r
+        b[:, [1, 3]] = (b[:, [1, 3]] - pad_h) / r
+        h, w = image_rgb.shape[:2]
+        b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+        b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
+        boxes_xywh = [
+            [int(x1), int(y1), int(x2) - int(x1), int(y2) - int(y1)]
+            for x1, y1, x2, y2 in b
+        ]
+        return boxes_xywh, s[keep].tolist(), c[keep].astype(int).tolist()
+
+
+# ---------------------------------------------------------------------------
+# ultralytics checkpoint import
+# ---------------------------------------------------------------------------
+
+# ultralytics module indices for yolov8 (model.N. prefixes in the state dict)
+_UL_BACKBONE = {
+    0: "stem", 1: "down1", 2: "c2f1", 3: "down2", 4: "c2f2",
+    5: "down3", 6: "c2f3", 7: "down4", 8: "c2f4", 9: "sppf",
+}
+_UL_NECK = {12: "n_c2f1", 15: "n_c2f2", 16: "n_down1", 18: "n_c2f3",
+            19: "n_down2", 21: "n_c2f4"}
+
+
+def port_ultralytics_state_dict(sd: Dict[str, Any], scale: str = "n",
+                                num_classes: int = 80):
+    """ultralytics YOLOv8 state_dict (model.N.* keys) -> flax variables."""
+    import numpy as _np
+
+    sd = {k: (_np.asarray(v.detach().cpu()) if hasattr(v, "detach") else _np.asarray(v))
+          for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def set_(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    def conv_bn(torch_prefix, flax_path):
+        set_(params, flax_path + ("conv", "kernel"),
+             sd[f"{torch_prefix}.conv.weight"].transpose(2, 3, 1, 0))
+        set_(params, flax_path + ("bn", "scale"), sd[f"{torch_prefix}.bn.weight"])
+        set_(params, flax_path + ("bn", "bias"), sd[f"{torch_prefix}.bn.bias"])
+        set_(stats, flax_path + ("bn", "mean"), sd[f"{torch_prefix}.bn.running_mean"])
+        set_(stats, flax_path + ("bn", "var"), sd[f"{torch_prefix}.bn.running_var"])
+
+    def plain_conv(torch_prefix, flax_path):
+        set_(params, flax_path + ("kernel",), sd[f"{torch_prefix}.weight"].transpose(2, 3, 1, 0))
+        set_(params, flax_path + ("bias",), sd[f"{torch_prefix}.bias"])
+
+    def c2f(torch_prefix, name, n):
+        conv_bn(f"{torch_prefix}.cv1", (name, "cv1"))
+        conv_bn(f"{torch_prefix}.cv2", (name, "cv2"))
+        for i in range(n):
+            conv_bn(f"{torch_prefix}.m.{i}.cv1", (name, f"m{i}", "cv1"))
+            conv_bn(f"{torch_prefix}.m.{i}.cv2", (name, f"m{i}", "cv2"))
+
+    model = YOLOv8(scale=scale, num_classes=num_classes)
+    d1, d2, d3, d4 = model.depths()
+    c2f_depth = {"c2f1": d1, "c2f2": d2, "c2f3": d3, "c2f4": d4,
+                 "n_c2f1": d4, "n_c2f2": d4, "n_c2f3": d4, "n_c2f4": d4}
+
+    for idx, name in {**_UL_BACKBONE, **_UL_NECK}.items():
+        prefix = f"model.{idx}"
+        if name.startswith(("c2f", "n_c2f")):
+            c2f(prefix, name, c2f_depth[name])
+        elif name == "sppf":
+            conv_bn(f"{prefix}.cv1", ("sppf", "cv1"))
+            conv_bn(f"{prefix}.cv2", ("sppf", "cv2"))
+        else:
+            conv_bn(prefix, (name,))
+
+    det = "model.22"
+    for i in range(3):
+        for b in range(2):
+            conv_bn(f"{det}.cv2.{i}.{b}", ("detect", f"cv2_{i}_{b}"))
+            conv_bn(f"{det}.cv3.{i}.{b}", ("detect", f"cv3_{i}_{b}"))
+        plain_conv(f"{det}.cv2.{i}.2", ("detect", f"cv2_{i}_2"))
+        plain_conv(f"{det}.cv3.{i}.2", ("detect", f"cv3_{i}_2"))
+    # note: ultralytics' DFL conv (model.22.dfl) is the fixed arange kernel,
+    # realized here analytically in dfl_expectation.
+
+    return {"params": params, "batch_stats": stats}
