@@ -115,8 +115,10 @@ R0_inv = np.linalg.inv(R0)
 Tr_velo_to_cam_inv = np.linalg.inv(Tr_velo_to_cam)
 P2_inv = np.linalg.pinv(P2)
 
-# Fixed-shape budget for the padded point tensor fed to the device BEV
-# rasterizer. KITTI velodyne scans have ~120k points; after the front-range
-# filter typically <60k survive. TPU-native addition (no reference analog:
-# the reference uses ragged numpy arrays).
-MAX_POINTS = 65536
+# Fixed-shape budgets for the padded point tensors fed to the device BEV
+# rasterizer. KITTI velodyne scans have ~120k points; the front-range filter
+# typically keeps 15-25k. TPU-native addition (no reference analog: the
+# reference uses ragged numpy arrays). Scatter cost is linear in the padded
+# length, so pre-filtered paths use the smaller budget.
+MAX_POINTS = 65536  # raw, unfiltered scans (device does the filtering)
+MAX_POINTS_FILTERED = 32768  # host-prefiltered scans

@@ -39,7 +39,7 @@ from sfa3d_tpu.config import kitti as cnf
 
 def filter_and_pad_points(
     points: np.ndarray,
-    max_points: int = cnf.MAX_POINTS,
+    max_points: int = cnf.MAX_POINTS_FILTERED,
     boundary: Dict[str, float] = cnf.boundary,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side: range-filter a ragged (N,4) scan and pad/truncate to a
@@ -114,29 +114,32 @@ def points_to_bev(
     num_cells = bev_height * bev_width
     cid = jnp.where(ok, row * bev_width + col, num_cells)  # dump cell at end
 
-    neg_inf = jnp.float32(-1e30)
-    z_masked = jnp.where(ok, zs, neg_inf)
-    z_top = jax.ops.segment_max(
-        z_masked, cid, num_segments=num_cells + 1, indices_are_sorted=False
-    )
+    # Top-of-cell height AND its intensity from ONE int32 segment-max by
+    # packing both into a sortable key: 17-bit quantized height (resolution
+    # z_range/131071 ~ 0.03 mm) in the high bits, 13-bit quantized intensity
+    # in the low bits. Ordering by key == ordering by z (max-intensity
+    # tie-break inside a 0.03 mm bucket); reconstruction errors (1.5e-5
+    # height, 6e-5 intensity) sit far inside the 1e-3 parity budget. This
+    # halves the scatter cost vs. separate z/intensity segment-maxes (TPU
+    # scatters are N-linear; see SURVEY.md section 7.3 hard parts).
+    z_range = abs(max_z - min_z)
+    qz = jnp.clip((zs / z_range * 131071.0 + 0.5).astype(jnp.int32), 0, 131071)
+    qr = jnp.clip((r * 8191.0 + 0.5).astype(jnp.int32), 0, 8191)
+    key = jnp.where(ok, qz * 8192 + qr, -1)
+    key_max = jax.ops.segment_max(key, cid, num_segments=num_cells + 1)
     count = jax.ops.segment_sum(
         ok.astype(jnp.float32), cid, num_segments=num_cells + 1
     )
-    # Intensity of the top point: among points matching the cell max height.
-    is_top = ok & (zs >= z_top[cid])
-    r_masked = jnp.where(is_top, r, neg_inf)
-    r_top = jax.ops.segment_max(
-        r_masked, cid, num_segments=num_cells + 1
-    )
 
-    z_top = z_top[:num_cells]
-    r_top = r_top[:num_cells]
+    key_max = key_max[:num_cells]
     count = count[:num_cells]
 
-    occupied = count > 0
-    max_height = abs(max_z - min_z)
-    height_map = jnp.where(occupied, z_top / max_height, 0.0)
-    intensity_map = jnp.where(occupied, r_top, 0.0)
+    occupied = key_max >= 0
+    key_max = jnp.maximum(key_max, 0)
+    height_map = jnp.where(occupied, (key_max >> 13).astype(jnp.float32) / 131071.0, 0.0)
+    intensity_map = jnp.where(
+        occupied, (key_max & 8191).astype(jnp.float32) / 8191.0, 0.0
+    )
     density_map = jnp.minimum(1.0, jnp.log(count + 1.0) / np.log(64.0))
 
     bev = jnp.stack([intensity_map, height_map, density_map], axis=-1)

@@ -77,4 +77,5 @@ def test_density_channel_saturates():
     np.testing.assert_allclose(
         bev[row, col, 1], (1.0 - cnf.boundary["minZ"]) / cnf.bound_size_z, atol=1e-5
     )
-    assert bev[row, col, 0] == pytest.approx(0.5)
+    # intensity is 13-bit quantized in the packed rasterizer key (6e-5 err)
+    assert bev[row, col, 0] == pytest.approx(0.5, abs=1e-4)

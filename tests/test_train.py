@@ -114,7 +114,9 @@ def test_grad_accumulation_sums_micro_batches(rng):
     flat_a = jax.tree_util.tree_leaves(new_state.params)
     flat_b = jax.tree_util.tree_leaves(manual_params)
     for a, b in zip(flat_a, flat_b):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # 1e-5: scan-fused vs. manually-chained grads compile to different
+        # XLA programs with slightly different f32 reduction orders
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_eval_step(rng):
