@@ -1,0 +1,35 @@
+"""Subcommand dispatcher: python -m sfa3d_tpu.cli <command> [args...]."""
+
+import sys
+
+
+COMMANDS = {
+    "train": ("sfa3d_tpu.cli.train", "KITTI training over the device mesh"),
+    "test": ("sfa3d_tpu.cli.test", "inference + visualization on the test split"),
+    "demo": ("sfa3d_tpu.cli.demo", "raw-drive video demo (front / two-sides)"),
+    "fuse": ("sfa3d_tpu.cli.fuse", "camera-LiDAR fusion (nms/weighted/bayesian)"),
+    "slam": ("sfa3d_tpu.cli.slam", "fusion with dynamic SLAM-simulated calibration"),
+    "stereo-calib": ("sfa3d_tpu.cli.stereo_calib", "targetless stereo self-calibration"),
+    "argoverse-test": ("sfa3d_tpu.cli.argoverse_test", "Argoverse pipeline runner"),
+}
+
+
+def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print("usage: python -m sfa3d_tpu.cli <command> [args...]\n\ncommands:")
+        for name, (_, desc) in COMMANDS.items():
+            print(f"  {name:15s} {desc}")
+        sys.exit(0)
+    cmd = sys.argv[1]
+    if cmd not in COMMANDS:
+        print(f"unknown command: {cmd} (choose from {', '.join(COMMANDS)})")
+        sys.exit(2)
+    module_name, _ = COMMANDS[cmd]
+    import importlib
+
+    module = importlib.import_module(module_name)
+    module.main(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Raw-drive video demo: front-only and front+back (two-pass flipped BEV).
+
+Parity with reference demo_front.py / demo_2_sides.py + utils/demo_utils.py:
+iterate a KITTI raw drive (image_02/data + velodyne_points/data), run the
+detector on the front BEV, and for --two_sides also on the rear BEV produced
+with the mirrored boundary and a W-flip (demo_utils.py:109-127,
+demo_2_sides.py:58-77), composing an RGB + front/back BEV video.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="sfa3d_tpu demo (demo_front/demo_2_sides parity)")
+    p.add_argument("--saved_fn", type=str, default="fpn_resnet_18")
+    p.add_argument("--arch", type=str, default="fpn_resnet_18")
+    p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--drive_dir", type=str, required=True,
+                   help="KITTI raw drive folder containing image_02/ and velodyne_points/")
+    p.add_argument("--two_sides", action="store_true")
+    p.add_argument("--K", type=int, default=50)
+    p.add_argument("--peak_thresh", type=float, default=0.2)
+    p.add_argument("--output_dir", type=str, default="./results")
+    p.add_argument("--output-width", dest="output_width", type=int, default=608)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.config import kitti as cnf
+    from sfa3d_tpu.data.kitti import DemoKittiDataset
+    from sfa3d_tpu.models import create_model
+    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.ops.bev import points_to_bev
+    from sfa3d_tpu.pipeline import detect_bev, init_detector
+    from sfa3d_tpu.viz.draw import bev_map_to_image, draw_predictions_bev, merge_rgb_to_bev
+    from sfa3d_tpu.ops.decode import post_processing
+
+    args = parse_args(argv)
+    model = create_model(args.arch)
+    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
+        variables = load_torch_checkpoint(
+            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
+        )
+    else:
+        variables = init_detector(model, jax.random.PRNGKey(0))
+
+    dataset = DemoKittiDataset(args.drive_dir)
+    os.makedirs(args.output_dir, exist_ok=True)
+    video_writer = None
+
+    back_bound = tuple(
+        cnf.boundary_back[k] for k in ("minX", "maxX", "minY", "maxY", "minZ", "maxZ")
+    )
+
+    for idx in range(len(dataset)):
+        points, valid, img_path = dataset[idx]
+        t0 = time.time()
+        front_bev = points_to_bev(jnp.asarray(points), jnp.asarray(valid))
+        _, front_real, front_mask = detect_bev(
+            model, variables, front_bev[None], K=args.K, peak_thresh=args.peak_thresh
+        )
+        dets_front, _ = _detect_boxes(model, variables, front_bev, args)
+        panels = [_draw_panel(front_bev, dets_front)]
+
+        if args.two_sides:
+            back_bev = points_to_bev(
+                jnp.asarray(points), jnp.asarray(valid), bound=back_bound
+            )
+            # rear view is detected on the W-mirrored raster (demo_utils.py:110-111)
+            back_bev = back_bev[:, ::-1, :]
+            dets_back, _ = _detect_boxes(model, variables, back_bev, args)
+            panels.append(cv2.rotate(_draw_panel(back_bev, dets_back), cv2.ROTATE_180))
+
+        fps = 1.0 / max(time.time() - t0, 1e-9)
+        img_rgb = cv2.imread(img_path)
+        if img_rgb is None:
+            img_rgb = np.zeros((375, 1242, 3), np.uint8)
+        bev_panel = cv2.vconcat(panels) if len(panels) > 1 else panels[0]
+        out_img = merge_rgb_to_bev(img_rgb, bev_panel, output_width=args.output_width)
+        cv2.putText(out_img, f"FPS: {fps:.1f}", (10, 30),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 255, 0), 2)
+
+        if video_writer is None:
+            fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+            video_writer = cv2.VideoWriter(
+                os.path.join(args.output_dir, f"demo_{args.saved_fn}.avi"),
+                fourcc, 30, (out_img.shape[1], out_img.shape[0]),
+            )
+        video_writer.write(out_img)
+        print(f"frame {idx}: {fps:.1f} FPS")
+    if video_writer is not None:
+        video_writer.release()
+
+
+def _detect_boxes(model, variables, bev, args):
+    import numpy as np
+
+    from sfa3d_tpu.pipeline import detect_bev
+
+    dets, real, mask = detect_bev(
+        model, variables, bev[None], K=args.K, peak_thresh=args.peak_thresh
+    )
+    from sfa3d_tpu.ops.decode import post_processing
+
+    boxes_bev, m = post_processing(dets, peak_thresh=args.peak_thresh)
+    return (np.asarray(boxes_bev)[0], np.asarray(m)[0]), np.asarray(real)[0]
+
+
+def _draw_panel(bev, dets):
+    import cv2
+
+    import numpy as np
+
+    from sfa3d_tpu.config import kitti as cnf
+    from sfa3d_tpu.viz.draw import bev_map_to_image, draw_predictions_bev
+
+    boxes_bev, mask = dets
+    img = bev_map_to_image(np.asarray(bev))
+    img = cv2.resize(img, (cnf.BEV_WIDTH, cnf.BEV_HEIGHT))
+    draw_predictions_bev(img, boxes_bev, mask)
+    return cv2.rotate(img, cv2.ROTATE_180)
+
+
+if __name__ == "__main__":
+    main()

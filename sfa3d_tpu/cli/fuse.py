@@ -1,0 +1,133 @@
+"""Camera-LiDAR fusion entry point.
+
+Parity with reference test4.py (--mode nms), test5.py (--mode weighted),
+test6.py (--mode bayesian, optionally --gaussian_nms): per test-split frame,
+run YOLOv8 on the camera image + SFA3D on the scan, fuse, draw labeled boxes
+color-coded by source, and emit the detection-count dashboard
+(test6.py:396-471 analog, written as a summary text file + composite image).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="sfa3d_tpu fusion (test4/5/6 parity)")
+    p.add_argument("--arch", type=str, default="fpn_resnet_18")
+    p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--yolo_weights", type=str, default=None,
+                   help="ultralytics yolov8 .pt to import (random weights if absent)")
+    p.add_argument("--dataset_dir", type=str, default="./dataset/kitti")
+    p.add_argument("--mode", type=str, default="bayesian",
+                   choices=["nms", "weighted", "bayesian"])
+    p.add_argument("--confidence_threshold", type=float, default=0.25)
+    p.add_argument("--fusion_iou_threshold", type=float, default=0.7)
+    p.add_argument("--nms_threshold", type=float, default=0.5)
+    p.add_argument("--gaussian_nms", action="store_true")
+    p.add_argument("--gaussian_sigma", type=float, default=0.5)
+    p.add_argument("--peak_thresh", type=float, default=0.2)
+    p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--output_dir", type=str, default="./results/fusion")
+    return p.parse_args(argv)
+
+
+SOURCE_COLORS = {0: (0, 255, 255), 1: (255, 0, 0), 2: (0, 255, 0)}  # yolo/sfa/fused
+SOURCE_NAMES = {0: "YOLOv8", 1: "SFA3D", 2: "Fused"}
+
+
+def main(argv=None):
+    import cv2
+    import jax
+
+    from sfa3d_tpu.data.kitti import KittiDataset
+    from sfa3d_tpu.fusion.pipeline import fuse_frame
+    from sfa3d_tpu.geometry.calibration import KittiCalibration
+    from sfa3d_tpu.models import create_model
+    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector, port_ultralytics_state_dict
+    from sfa3d_tpu.pipeline import detect_frames, init_detector
+
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    model = create_model(args.arch)
+    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
+        variables = load_torch_checkpoint(
+            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
+        )
+    else:
+        variables = init_detector(model, jax.random.PRNGKey(0))
+
+    yolo_vars = None
+    if args.yolo_weights and os.path.isfile(args.yolo_weights):
+        import torch
+
+        sd = torch.load(args.yolo_weights, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        elif isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"].float().state_dict()
+        yolo_vars = port_ultralytics_state_dict(sd)
+    yolo = YOLOv8Detector(scale="n", variables=yolo_vars)
+
+    dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
+    counts_before, counts_after = [], []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        t0 = time.time()
+        out = detect_frames(
+            model, variables, sample.points[None], sample.valid[None],
+            K=50, peak_thresh=args.peak_thresh,
+        )
+        img = cv2.imread(sample.img_path)
+        if img is None:
+            img = np.zeros((375, 1242, 3), np.uint8)
+        yb, ys, yc = yolo(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), conf=args.confidence_threshold)
+
+        calib_path = sample.img_path.replace(".png", ".txt").replace("image_2", "calib")
+        calib = KittiCalibration(calib_path if os.path.isfile(calib_path) else None)
+        result = fuse_frame(
+            yb, ys, yc,
+            np.asarray(out["boxes_real"])[0],
+            np.asarray(out["detections"])[0, :, 0],
+            np.asarray(out["mask"])[0],
+            calib, img.shape[:2],
+            mode=args.mode,
+            confidence_threshold=args.confidence_threshold,
+            fusion_iou_threshold=args.fusion_iou_threshold,
+            nms_threshold=args.nms_threshold,
+            use_gaussian_nms=args.gaussian_nms,
+            gaussian_sigma=args.gaussian_sigma,
+        )
+        dt = time.time() - t0
+        counts_before.append(len(yb) + int(np.asarray(out["mask"])[0].sum()))
+        counts_after.append(len(result["boxes"]))
+
+        for (x, y, w, h), score, cls, src in zip(
+            result["boxes"], result["scores"], result["classes"], result["source"]
+        ):
+            color = SOURCE_COLORS[int(src)]
+            cv2.rectangle(img, (x, y), (x + w, y + h), color, 2)
+            name = COCO_NAMES[cls] if int(src) != 1 and cls < len(COCO_NAMES) else f"cls{cls}"
+            cv2.putText(img, f"{SOURCE_NAMES[int(src)]} {name} {score:.2f}",
+                        (x, max(0, y - 5)), cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
+        cv2.putText(img, f"{args.mode} fusion  {1.0 / max(dt, 1e-9):.1f} FPS",
+                    (10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
+        cv2.imwrite(os.path.join(args.output_dir, f"{sample.sample_id:06d}_fused.jpg"), img)
+        print(f"frame {sample.sample_id}: {counts_before[-1]} -> {counts_after[-1]} dets "
+              f"({dt * 1000:.1f} ms)")
+
+    # detection-count dashboard (test6.py:396-471 analog)
+    with open(os.path.join(args.output_dir, "summary.txt"), "w") as f:
+        f.write(f"mode: {args.mode}\nframes: {len(counts_before)}\n")
+        f.write(f"mean detections before fusion/NMS: {np.mean(counts_before):.2f}\n")
+        f.write(f"mean detections after fusion/NMS: {np.mean(counts_after):.2f}\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Training entry point.
+
+Parity with reference train.py:44-285 (main/main_worker/train_one_epoch/
+validate): epoch loop with per-epoch reseeded sampling, gradient-accumulated
+sharded train steps, periodic validation + checkpointing, TensorBoard and
+console observability, resume/pretrained loading, LR-curve dump. The DDP
+process machinery is replaced by the device mesh (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+
+    from sfa3d_tpu.config.train import TrainConfig, parse_train_configs
+    from sfa3d_tpu.data.loader import create_train_loader, create_val_loader
+    from sfa3d_tpu.models import create_model, get_num_parameters
+    from sfa3d_tpu.parallel import (
+        create_train_state,
+        make_eval_step,
+        make_mesh,
+        make_train_step,
+        replicate,
+        shard_batch,
+    )
+    from sfa3d_tpu.pipeline import init_detector
+    from sfa3d_tpu.runtime.checkpoint import (
+        load_checkpoint,
+        load_pretrained_params,
+        save_checkpoint,
+    )
+    from sfa3d_tpu.runtime.logger import AverageMeter, Logger, ProgressMeter, create_tb_writer
+    from sfa3d_tpu.runtime.schedules import create_lr_schedule, create_optimizer
+    from sfa3d_tpu.models.port import load_torch_checkpoint
+
+    configs = parse_train_configs(argv)
+    os.makedirs(configs.checkpoints_dir, exist_ok=True)
+    os.makedirs(configs.logs_dir, exist_ok=True)
+
+    logger = Logger(configs.logs_dir, configs.runtime.saved_fn)
+    tb_writer = create_tb_writer(configs.logs_dir)
+
+    mesh = make_mesh(configs.runtime.mesh_shape)
+    logger.info(f"mesh: {mesh} over devices {jax.devices()[:8]}")
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if configs.model.compute_dtype == "bfloat16" else jnp.float32
+    model = create_model(configs.model.arch, configs.model.head_conv, dtype=dtype)
+    variables = init_detector(model, jax.random.PRNGKey(configs.runtime.seed))
+    logger.info(f"model {configs.model.arch}: {get_num_parameters(variables['params']):,} params")
+
+    if configs.runtime.pretrained_path:
+        path = configs.runtime.pretrained_path
+        if path.endswith(".pth"):
+            variables = load_torch_checkpoint(path, configs.model.num_layers, configs.model.arch)
+            logger.info(f"loaded torch pretrained weights from {path}")
+
+    train_loader = create_train_loader(configs)
+    steps_per_epoch = max(1, len(train_loader))
+    logger.info(f"number of batches in training set: {steps_per_epoch}")
+
+    tx = create_optimizer(configs.optim, configs.runtime.num_epochs, steps_per_epoch)
+    lr_sched = create_lr_schedule(configs.optim, configs.runtime.num_epochs, steps_per_epoch)
+    plot_lr_schedule(lr_sched, configs.runtime.num_epochs, steps_per_epoch,
+                     configs.logs_dir, configs.optim.lr_type)
+
+    state = create_train_state(model, variables, tx)
+    start_epoch = configs.runtime.start_epoch
+    if configs.runtime.resume_path:
+        state, epoch = load_checkpoint(configs.runtime.resume_path, state)
+        start_epoch = epoch + 1
+        logger.info(f"resumed from {configs.runtime.resume_path} at epoch {epoch}")
+    state = replicate(mesh, state)
+
+    train_step = make_train_step(model, tx, mesh)
+    eval_step = make_eval_step(model, mesh)
+
+    if configs.runtime.evaluate:
+        val_loss = validate(create_val_loader(configs), state, eval_step, mesh)
+        logger.info(f"val_loss: {val_loss:.4e}")
+        return
+
+    global_step = 0
+    for epoch in range(start_epoch, configs.runtime.num_epochs + 1):
+        logger.info(f">>> Epoch: [{epoch}/{configs.runtime.num_epochs}]")
+        train_loader.set_epoch(epoch)
+        batch_time = AverageMeter("Time", ":6.3f")
+        data_time = AverageMeter("Data", ":6.3f")
+        losses = AverageMeter("Loss", ":.4e")
+        progress = ProgressMeter(
+            steps_per_epoch, [batch_time, data_time, losses],
+            prefix=f"Train - Epoch: [{epoch}/{configs.runtime.num_epochs}]",
+        )
+        start = time.time()
+        for batch_idx, batch in enumerate(train_loader):
+            data_time.update(time.time() - start)
+            state, stats = train_step(state, shard_batch(mesh, batch, axis=1))
+            global_step += 1
+            loss = float(stats["total_loss"])
+            losses.update(loss, configs.runtime.batch_size)
+            batch_time.update(time.time() - start)
+            if tb_writer is not None and global_step % configs.runtime.tensorboard_freq == 0:
+                tb_writer.add_scalars(
+                    "Train",
+                    {k: float(v) for k, v in stats.items()} | {"avg_loss": losses.avg},
+                    global_step,
+                )
+                tb_writer.add_scalar("LR", float(lr_sched(global_step)), global_step)
+            if global_step % configs.runtime.print_freq == 0:
+                logger.info(progress.get_message(batch_idx))
+            start = time.time()
+
+        if (not configs.runtime.no_val) and epoch % configs.runtime.checkpoint_freq == 0:
+            val_loss = validate(create_val_loader(configs), state, eval_step, mesh)
+            logger.info(f"val_loss: {val_loss:.4e}")
+            if tb_writer is not None:
+                tb_writer.add_scalar("Val_loss", val_loss, epoch)
+
+        if epoch % configs.runtime.checkpoint_freq == 0:
+            path = save_checkpoint(
+                configs.checkpoints_dir, configs.runtime.saved_fn, state, epoch
+            )
+            logger.info(f"save a checkpoint at {path}")
+
+    if tb_writer is not None:
+        tb_writer.close()
+
+
+def validate(val_loader, state, eval_step, mesh) -> float:
+    from sfa3d_tpu.parallel import shard_batch
+
+    total, n = 0.0, 0
+    for batch in val_loader:
+        flat = {
+            "bev": batch["bev"].reshape((-1,) + batch["bev"].shape[2:]),
+            "targets": {
+                k: v.reshape((-1,) + v.shape[2:]) for k, v in batch["targets"].items()
+            },
+        }
+        stats = eval_step(state, shard_batch(mesh, flat))
+        total += float(stats["total_loss"])
+        n += 1
+    return total / max(1, n)
+
+
+def plot_lr_schedule(lr_sched, num_epochs, steps_per_epoch, logs_dir, lr_type):
+    """LR-curve PNG dump (train_utils.py:107-121)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    ys = [float(lr_sched(e * steps_per_epoch)) for e in range(num_epochs)]
+    plt.figure()
+    plt.plot(ys, ".-", label="LR")
+    plt.xlabel("epoch")
+    plt.ylabel("LR")
+    plt.grid()
+    plt.tight_layout()
+    plt.savefig(os.path.join(logs_dir, f"LR_{lr_type}.png"), dpi=200)
+    plt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,265 @@
+"""Argoverse v1 dataset reader (host-side) + synthetic fixture writer.
+
+Parity with reference data_process/argoverse_dataset.py (paired
+samplefile/lidar/*.bin + camera *.jpg by sorted order, single
+track_label.json keyed by timestamp, per-log vehicle_calibration_info.json)
+and data_process/argoverse_dataloader.py, emitting the same fixed-shape
+padded sample tensors as the KITTI reader so the rest of the stack is
+dataset-agnostic. PLY loading (argoverse_test.py:181-197) is supported for
+lidar files without the argoverse-api/plydata dependency.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sfa3d_tpu.config import argoverse as acnf
+from sfa3d_tpu.geometry.argoverse_calib import ArgoverseCalibration
+from sfa3d_tpu.geometry.se3 import quat2rotmat, yaw_from_quaternion
+
+
+def load_ply_lidar(path: str) -> np.ndarray:
+    """Minimal binary_little_endian PLY reader for Argoverse sweeps
+    (x, y, z, intensity[, laser_number]) — replaces the reference's plydata
+    dependency (argoverse_test.py:181-197)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n_vertex = 0
+        props = []
+        fmt = "binary_little_endian"
+        for line in header:
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                n_vertex = int(line.split()[-1])
+            elif line.startswith("property"):
+                _, ptype, pname = line.split()
+                props.append((pname, ptype))
+        type_map = {
+            "float": "<f4", "float32": "<f4", "double": "<f8",
+            "uchar": "u1", "uint8": "u1", "int": "<i4", "uint32": "<u4",
+            "short": "<i2", "ushort": "<u2",
+        }
+        if fmt != "binary_little_endian":
+            data = np.loadtxt(f, max_rows=n_vertex)
+            arr = {name: data[:, i] for i, (name, _) in enumerate(props)}
+        else:
+            dtype = np.dtype([(n, type_map[t]) for n, t in props])
+            raw = np.frombuffer(f.read(dtype.itemsize * n_vertex), dtype=dtype)
+            arr = {n: raw[n].astype(np.float64) for n, _ in props}
+    x = arr.get("x")
+    y = arr.get("y")
+    z = arr.get("z")
+    intensity = arr.get("intensity", np.zeros_like(x))
+    return np.stack([x, y, z, intensity], axis=1).astype(np.float32)
+
+
+def load_lidar(path: str) -> np.ndarray:
+    if path.endswith(".ply"):
+        return load_ply_lidar(path)
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+@dataclass
+class ArgoverseSample:
+    timestamp: str
+    points: np.ndarray  # (max_points, 4) padded ego-frame points
+    valid: np.ndarray
+    labels: np.ndarray  # (max_objects, 8) [cls, x, y, z, h, w, l, yaw]
+    n_labels: np.int32
+    img_path: str
+    lidar_path: str
+    calib: Optional[ArgoverseCalibration]
+
+
+class ArgoverseDataset:
+    """(argoverse_dataset.py:29-193) with fixed-shape outputs."""
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        mode: str = "train",
+        target_camera: str = "ring_front_center",
+        num_samples: Optional[int] = None,
+        max_points: int = acnf.MAX_POINTS,
+        max_objects: int = 50,
+    ):
+        assert mode in ("train", "val", "test")
+        self.dataset_dir = dataset_dir
+        self.mode = mode
+        self.target_camera = target_camera
+        self.max_points = max_points
+        self.max_objects = max_objects
+
+        lidar_dir = os.path.join(dataset_dir, "samplefile", "lidar")
+        image_dir = os.path.join(dataset_dir, "samplefile", target_camera)
+        self.lidar_files = sorted(
+            glob.glob(os.path.join(lidar_dir, "*.bin"))
+            + glob.glob(os.path.join(lidar_dir, "*.ply"))
+        )
+        self.image_files = sorted(glob.glob(os.path.join(image_dir, "*.jpg")))
+        n = min(len(self.lidar_files), len(self.image_files)) or len(self.lidar_files)
+        if num_samples is not None:
+            n = min(n, num_samples)
+        self.num_samples = n
+
+        ann_path = os.path.join(dataset_dir, "annotations", "track_label.json")
+        self.annotations = {}
+        if os.path.isfile(ann_path):
+            with open(ann_path) as f:
+                self.annotations = json.load(f)
+
+        calib_path = os.path.join(dataset_dir, "vehicle_calibration_info.json")
+        self.calib = (
+            ArgoverseCalibration(calib_path, target_camera=target_camera)
+            if os.path.isfile(calib_path)
+            else None
+        )
+
+    def __len__(self):
+        return self.num_samples
+
+    def _labels_for(self, timestamp: str) -> np.ndarray:
+        frame = self.annotations.get(timestamp)
+        if not frame:
+            return np.zeros((0, 8), np.float32)
+        rows = []
+        for obj in frame.get("track_label_list", []):
+            cls_name = obj.get("object_type", obj.get("label_class"))
+            if cls_name not in acnf.CLASS_NAME_TO_ID:
+                continue
+            cls_id = acnf.CLASS_NAME_TO_ID[cls_name]
+            x, y, z = (
+                obj["translation"]
+                if isinstance(obj["translation"], list)
+                else [obj["translation"][k] for k in ("x", "y", "z")]
+            )
+            h, w, l = obj["height"], obj["width"], obj["length"]
+            q = obj["rotation"]
+            if isinstance(q, dict):
+                q = q["coefficients"]
+            # stored (qx, qy, qz, qw); yaw about +z (argoverse_dataset.py:144-148)
+            yaw = yaw_from_quaternion([q[3], q[0], q[1], q[2]])
+            rows.append([cls_id, x, y, z, h, w, l, yaw])
+        return np.asarray(rows, np.float32) if rows else np.zeros((0, 8), np.float32)
+
+    def __getitem__(self, index: int) -> ArgoverseSample:
+        lidar_path = self.lidar_files[index]
+        img_path = self.image_files[index] if index < len(self.image_files) else ""
+        timestamp = os.path.splitext(os.path.basename(lidar_path))[0]
+        points = load_lidar(lidar_path)
+
+        b = acnf.boundary
+        m = (
+            (points[:, 0] >= b["minX"]) & (points[:, 0] <= b["maxX"])
+            & (points[:, 1] >= b["minY"]) & (points[:, 1] <= b["maxY"])
+            & (points[:, 2] >= b["minZ"]) & (points[:, 2] <= b["maxZ"])
+        )
+        points = points[m]
+        pts = np.zeros((self.max_points, 4), np.float32)
+        valid = np.zeros((self.max_points,), bool)
+        n = min(len(points), self.max_points)
+        pts[:n] = points[:n]
+        valid[:n] = True
+
+        labels = self._labels_for(timestamp)
+        lab = np.zeros((self.max_objects, 8), np.float32)
+        k = min(len(labels), self.max_objects)
+        lab[:k] = labels[:k]
+        return ArgoverseSample(
+            timestamp, pts, valid, lab, np.int32(k), img_path, lidar_path, self.calib
+        )
+
+
+def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:
+    """Synthetic Argoverse-layout fixture: lidar .bin sweeps + dummy camera
+    jpgs + track_label.json + vehicle_calibration_info.json + per-frame
+    poses, so the full Argoverse path runs without the dataset."""
+    import cv2
+
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+
+    os.makedirs(os.path.join(root, "samplefile", "lidar"), exist_ok=True)
+    os.makedirs(os.path.join(root, "samplefile", "ring_front_center"), exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "log0", "poses"), exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    annotations = {}
+    base_ts = 315974052820626000
+    for i in range(n_frames):
+        ts = base_ts + i * 100_000_000
+        pts, labels = synthetic_scene(seed=seed + i)
+        pts.tofile(os.path.join(root, "samplefile", "lidar", f"{ts}.bin"))
+        img = (rng.uniform(0, 255, (120, 192, 3))).astype(np.uint8)
+        cv2.imwrite(
+            os.path.join(root, "samplefile", "ring_front_center", f"{ts}.jpg"), img
+        )
+        track_list = []
+        for cls, x, y, z, h, w, l, yaw in labels:
+            yaw = -yaw  # synthetic labels store -yaw (see synthetic_scene)
+            track_list.append(
+                {
+                    "object_type": ["PEDESTRIAN", "VEHICLE", "BICYCLE"][int(cls)],
+                    "translation": [float(x), float(y), float(z)],
+                    "height": float(h), "width": float(w), "length": float(l),
+                    "rotation": [0.0, 0.0, float(np.sin(yaw / 2)), float(np.cos(yaw / 2))],
+                }
+            )
+        annotations[str(ts)] = {"track_label_list": track_list}
+        pose = {
+            "rotation": [1.0, 0.0, 0.0, float(i) * 1e-4],  # (w, x, y, z)
+            "translation": [float(i) * 0.5, 0.0, 0.0],
+        }
+        with open(
+            os.path.join(root, "log0", "poses", f"city_SE3_egovehicle_{ts}.json"), "w"
+        ) as f:
+            json.dump(pose, f)
+
+    with open(os.path.join(root, "annotations", "track_label.json"), "w") as f:
+        json.dump(annotations, f)
+
+    calib = {
+        "camera_data": [
+            {
+                "key": "image_raw_ring_front_center",
+                "value": {
+                    "focal_length_x_px_": 1392.0,
+                    "focal_length_y_px_": 1392.0,
+                    "focal_center_x_px_": 980.0,
+                    "focal_center_y_px_": 604.0,
+                    "skew_": 0.0,
+                    "vehicle_SE3_camera_": {
+                        # camera looks along ego +x: cam z = ego x
+                        "rotation": {"coefficients": [0.5, -0.5, 0.5, -0.5]},
+                        "translation": [1.6, 0.0, 1.4],
+                    },
+                },
+            }
+        ],
+        "lidar_data": [
+            {
+                "key": "down_lidar",
+                "value": {
+                    "vehicle_SE3_down_lidar_": {
+                        "rotation": {"coefficients": [0.0, 0.0, 0.0, 1.0]},
+                        "translation": [1.35, 0.0, 1.68],
+                    }
+                },
+            }
+        ],
+    }
+    with open(os.path.join(root, "vehicle_calibration_info.json"), "w") as f:
+        json.dump(calib, f)
+    return root

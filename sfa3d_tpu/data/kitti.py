@@ -1,0 +1,250 @@
+"""KITTI dataset reader (host-side).
+
+Parity with reference data_process/kitti_dataset.py (KittiDataset) and
+kitti_data_utils.py (label parsing, Object3d difficulty), re-shaped for the
+TPU input pipeline: samples come out as FIXED-SHAPE padded tensors (points +
+label slots + validity counts) so batches feed straight into the jit BEV
+raster / target builder; the Gaussian-splat work the reference does per
+sample in dataloader workers happens on device instead.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from sfa3d_tpu.config import kitti as cnf
+from sfa3d_tpu.geometry.calibration import KittiCalibration
+from sfa3d_tpu.geometry.transforms import camera_to_lidar_box
+
+
+@dataclass
+class KittiSample:
+    sample_id: int
+    points: np.ndarray  # (max_points, 4) padded, RAW z (kernel shifts)
+    valid: np.ndarray  # (max_points,) bool
+    labels: np.ndarray  # (max_objects, 8) [cls, x, y, z, h, w, l, yaw] velodyne
+    n_labels: np.int32
+    img_path: str
+    calib: Optional[KittiCalibration] = None
+
+
+class Object3d:
+    """One KITTI label row (kitti_data_utils.py:17-85)."""
+
+    def __init__(self, line: str):
+        parts = line.strip().split(" ")
+        self.type = parts[0]
+        self.truncation = float(parts[1])
+        self.occlusion = int(float(parts[2]))
+        self.alpha = float(parts[3])
+        self.xmin, self.ymin, self.xmax, self.ymax = map(float, parts[4:8])
+        self.box2d = np.array([self.xmin, self.ymin, self.xmax, self.ymax])
+        self.h, self.w, self.l = map(float, parts[8:11])
+        self.t = tuple(map(float, parts[11:14]))
+        self.ry = float(parts[14])
+        self.score = float(parts[15]) if len(parts) > 15 else -1.0
+        self.cls_id = self.cls_type_to_id(self.type)
+        self.level = self.get_obj_level()
+
+    @staticmethod
+    def cls_type_to_id(cls_type: str) -> int:
+        return cnf.CLASS_NAME_TO_ID.get(cls_type, -99)
+
+    def get_obj_level(self) -> int:
+        """Easy/Moderate/Hard/Unknown (kitti_data_utils.py:54-68)."""
+        height = float(self.box2d[3]) - float(self.box2d[1]) + 1
+        if height >= 40 and self.truncation <= 0.15 and self.occlusion <= 0:
+            return 1
+        if height >= 25 and self.truncation <= 0.3 and self.occlusion <= 1:
+            return 2
+        if height >= 25 and self.truncation <= 0.5 and self.occlusion <= 2:
+            return 3
+        return 4
+
+    def to_kitti_format(self) -> str:
+        """(kitti_data_utils.py:80-85)"""
+        return (
+            f"{self.type} {self.truncation:.2f} {int(self.occlusion)} {self.alpha:.2f} "
+            f"{self.box2d[0]:.2f} {self.box2d[1]:.2f} {self.box2d[2]:.2f} {self.box2d[3]:.2f} "
+            f"{self.h:.2f} {self.w:.2f} {self.l:.2f} "
+            f"{self.t[0]:.2f} {self.t[1]:.2f} {self.t[2]:.2f} {self.ry:.2f}"
+        )
+
+
+def read_label(label_path: str) -> List[Object3d]:
+    with open(label_path) as f:
+        return [Object3d(line) for line in f if line.strip()]
+
+
+def parse_labels_camera(label_path: str) -> Tuple[np.ndarray, bool]:
+    """Label file -> (N, 8) camera-frame rows [cat_id, x, y, z, h, w, l, ry],
+    ignoring Tram/Misc (kitti_dataset.py:124-155)."""
+    labels = []
+    for line in open(label_path):
+        parts = line.strip().split(" ")
+        if not parts or parts[0] not in cnf.CLASS_NAME_TO_ID:
+            continue
+        cat_id = cnf.CLASS_NAME_TO_ID[parts[0]]
+        if cat_id <= -99:
+            continue
+        h, w, l = float(parts[8]), float(parts[9]), float(parts[10])
+        x, y, z = float(parts[11]), float(parts[12]), float(parts[13])
+        ry = float(parts[14])
+        labels.append([cat_id, x, y, z, h, w, l, ry])
+    if not labels:
+        return np.zeros((1, 8), np.float32), False
+    return np.asarray(labels, np.float32), True
+
+
+class KittiDataset:
+    """KITTI object-detection split reader (kitti_dataset.py:23-106).
+
+    `__getitem__` returns a KittiSample with padded fixed-shape tensors.
+    Augmentation runs here (host numpy); the range filter, BEV raster, flip,
+    and target splatting run on device (ops/bev.py, ops/targets.py).
+    """
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        mode: str = "train",
+        lidar_aug=None,
+        hflip_prob: Optional[float] = None,
+        num_samples: Optional[int] = None,
+        max_points: int = cnf.MAX_POINTS_FILTERED,
+        max_objects: int = 50,
+        seed: int = 2020,
+    ):
+        assert mode in ("train", "val", "test"), f"Invalid mode: {mode}"
+        self.mode = mode
+        self.is_test = mode == "test"
+        sub = "testing" if self.is_test else "training"
+        self.image_dir = os.path.join(dataset_dir, sub, "image_2")
+        self.lidar_dir = os.path.join(dataset_dir, sub, "velodyne")
+        self.calib_dir = os.path.join(dataset_dir, sub, "calib")
+        self.label_dir = os.path.join(dataset_dir, sub, "label_2")
+        split_txt = os.path.join(dataset_dir, "ImageSets", f"{mode}.txt")
+        self.sample_id_list = [int(x.strip()) for x in open(split_txt)]
+        if num_samples is not None:
+            self.sample_id_list = self.sample_id_list[:num_samples]
+        self.lidar_aug = lidar_aug
+        self.hflip_prob = hflip_prob or 0.0
+        self.max_points = max_points
+        self.max_objects = max_objects
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.sample_id_list)
+
+    def get_lidar(self, sample_id: int) -> np.ndarray:
+        path = os.path.join(self.lidar_dir, f"{sample_id:06d}.bin")
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+    def get_calib(self, sample_id: int) -> KittiCalibration:
+        return KittiCalibration(os.path.join(self.calib_dir, f"{sample_id:06d}.txt"))
+
+    def get_image_path(self, sample_id: int) -> str:
+        return os.path.join(self.image_dir, f"{sample_id:06d}.png")
+
+    def _pad_points(self, points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Host range-filter (get_filtered_lidar parity, WITHOUT the z shift
+        — the device kernel shifts) then pad. Raw KITTI scans (~120k points)
+        exceed any sane pad budget, but the front-range filter keeps <25k,
+        so filtering before padding loses nothing."""
+        b = cnf.boundary
+        m = (
+            (points[:, 0] >= b["minX"]) & (points[:, 0] <= b["maxX"])
+            & (points[:, 1] >= b["minY"]) & (points[:, 1] <= b["maxY"])
+            & (points[:, 2] >= b["minZ"]) & (points[:, 2] <= b["maxZ"])
+        )
+        points = points[m]
+        out = np.zeros((self.max_points, 4), np.float32)
+        valid = np.zeros((self.max_points,), bool)
+        n = min(len(points), self.max_points)
+        out[:n] = points[:n]
+        valid[:n] = True
+        return out, valid
+
+    def _pad_labels(self, labels: np.ndarray) -> Tuple[np.ndarray, np.int32]:
+        out = np.zeros((self.max_objects, 8), np.float32)
+        n = min(len(labels), self.max_objects)
+        out[:n] = labels[:n]
+        return out, np.int32(n)
+
+    def __getitem__(self, index: int) -> KittiSample:
+        sample_id = int(self.sample_id_list[index])
+        points = self.get_lidar(sample_id)
+        img_path = self.get_image_path(sample_id)
+
+        if self.is_test:
+            pts, valid = self._pad_points(points)
+            return KittiSample(
+                sample_id, pts, valid,
+                np.zeros((self.max_objects, 8), np.float32), np.int32(0),
+                img_path, None,
+            )
+
+        calib = self.get_calib(sample_id)
+        label_path = os.path.join(self.label_dir, f"{sample_id:06d}.txt")
+        cam_labels, has_labels = parse_labels_camera(label_path)
+        if has_labels:
+            velo = np.asarray(
+                camera_to_lidar_box(cam_labels[:, 1:], calib.V2C, calib.R0, calib.P2)
+            )
+            labels = np.concatenate([cam_labels[:, :1], velo], axis=1).astype(np.float32)
+        else:
+            labels = np.zeros((0, 8), np.float32)
+
+        if self.lidar_aug is not None and len(labels):
+            points, boxes = self.lidar_aug(points, labels[:, 1:], self.rng)
+            labels = np.concatenate([labels[:, :1], np.asarray(boxes, np.float32)], axis=1)
+
+        # label boundary filter (get_filtered_lidar, kitti_data_utils.py:243-249)
+        if len(labels):
+            m = (
+                (labels[:, 1] >= cnf.boundary["minX"]) & (labels[:, 1] < cnf.boundary["maxX"])
+                & (labels[:, 2] >= cnf.boundary["minY"]) & (labels[:, 2] < cnf.boundary["maxY"])
+                & (labels[:, 3] >= cnf.boundary["minZ"]) & (labels[:, 3] < cnf.boundary["maxZ"])
+            )
+            labels = labels[m]
+
+        hflipped = bool(self.rng.random() < self.hflip_prob)
+        pts, valid = self._pad_points(points)
+        lab, n_lab = self._pad_labels(labels)
+        sample = KittiSample(sample_id, pts, valid, lab, n_lab, img_path, calib)
+        sample.hflipped = hflipped
+        return sample
+
+
+class DemoKittiDataset:
+    """Raw KITTI drive folders (image_02/data, velodyne_points/data) for the
+    video demos (demo_dataset.py:32-99)."""
+
+    def __init__(self, root_dir: str, max_points: int = cnf.MAX_POINTS):
+        self.image_dir = os.path.join(root_dir, "image_02", "data")
+        self.lidar_dir = os.path.join(root_dir, "velodyne_points", "data")
+        self.sample_ids = sorted(
+            int(os.path.splitext(f)[0]) for f in os.listdir(self.lidar_dir)
+            if f.endswith(".bin")
+        )
+        self.max_points = max_points
+
+    def __len__(self):
+        return len(self.sample_ids)
+
+    def __getitem__(self, index: int):
+        sid = self.sample_ids[index]
+        points = np.fromfile(
+            os.path.join(self.lidar_dir, f"{sid:010d}.bin"), dtype=np.float32
+        ).reshape(-1, 4)
+        img_path = os.path.join(self.image_dir, f"{sid:010d}.png")
+        out = np.zeros((self.max_points, 4), np.float32)
+        valid = np.zeros((self.max_points,), bool)
+        n = min(len(points), self.max_points)
+        out[:n] = points[:n]
+        valid[:n] = True
+        return out, valid, img_path

@@ -1,0 +1,180 @@
+"""Input pipeline: dataset -> sharded device batches.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(data_process/kitti_dataloader.py): an epoch-seeded shuffling sampler with
+per-process sharding, host batching of fixed-shape sample tensors, and a
+single jit (`prepare_train_batch`) that turns raw padded scans into BEV
+rasters (+ horizontal flip, kitti_dataset.py:93-97) and splatted training
+targets ON DEVICE — work the reference does per-sample in worker processes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sfa3d_tpu.ops.bev import points_to_bev
+from sfa3d_tpu.ops.targets import build_targets
+
+
+class EpochSampler:
+    """Shuffled per-epoch indices with optional process sharding.
+
+    `set_epoch` reseeds like torch's DistributedSampler.set_epoch
+    (train.py:158-159); `process_index/process_count` shard the index
+    stream across hosts (DistributedSampler parity, kitti_dataloader.py:27-28).
+    """
+
+    def __init__(self, n: int, shuffle: bool = True, seed: int = 2020,
+                 process_index: int = 0, process_count: int = 1):
+        self.n = n
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return iter(idx[self.process_index :: self.process_count].tolist())
+
+
+@functools.partial(jax.jit, static_argnames=("hm_size", "max_objects", "num_classes"))
+def prepare_train_batch(
+    points: jax.Array,  # (N, P, 4) raw padded scans
+    valid: jax.Array,  # (N, P)
+    labels: jax.Array,  # (N, M, 8)
+    n_labels: jax.Array,  # (N,)
+    hflip: jax.Array,  # (N,) bool
+    *,
+    hm_size=(152, 152),
+    max_objects: int = 50,
+    num_classes: int = 3,
+):
+    """Device-side preprocessing for a flat batch of N samples: BEV raster
+    (+W-flip where hflip) and training targets."""
+
+    def one(p, v, lab, n, hf):
+        bev = points_to_bev(p, v)
+        bev = jnp.where(hf, bev[:, ::-1, :], bev)
+        tg = build_targets(
+            lab, n, hf,
+            num_classes=num_classes, hm_size=hm_size, max_objects=max_objects,
+        )
+        return bev, tg
+
+    return jax.vmap(one)(points, valid, labels, n_labels, hflip)
+
+
+class KittiTrainLoader:
+    """Yields train-step batches {bev: (S, B, H, W, 3), targets: (S, B, ...)}
+    where S is the gradient-accumulation factor ("subdivisions",
+    train.py:84-86) and B the per-step batch.
+    """
+
+    def __init__(self, dataset, batch_size: int, subdivisions: int = 1,
+                 shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.subdivisions = subdivisions
+        self.sampler = EpochSampler(
+            len(dataset), shuffle, seed, process_index, process_count
+        )
+        self.drop_last = drop_last
+
+    def __len__(self):
+        per_step = self.batch_size * self.subdivisions
+        n = len(range(self.sampler.process_index, len(self.dataset), self.sampler.process_count))
+        return n // per_step if self.drop_last else -(-n // per_step)
+
+    def set_epoch(self, epoch: int):
+        self.sampler.set_epoch(epoch)
+
+    def __iter__(self):
+        per_step = self.batch_size * self.subdivisions
+        chunk = []
+        for idx in self.sampler:
+            chunk.append(self.dataset[idx])
+            if len(chunk) == per_step:
+                yield self._collate(chunk)
+                chunk = []
+        if chunk and not self.drop_last:
+            while len(chunk) < per_step:  # pad by repeating (rare tail)
+                chunk.append(chunk[-1])
+            yield self._collate(chunk)
+
+    def _collate(self, samples):
+        points = np.stack([s.points for s in samples])
+        valid = np.stack([s.valid for s in samples])
+        labels = np.stack([s.labels for s in samples])
+        n_labels = np.asarray([s.n_labels for s in samples], np.int32)
+        hflip = np.asarray([getattr(s, "hflipped", False) for s in samples])
+
+        bev, targets = prepare_train_batch(
+            jnp.asarray(points), jnp.asarray(valid), jnp.asarray(labels),
+            jnp.asarray(n_labels), jnp.asarray(hflip),
+        )
+        s, b = self.subdivisions, self.batch_size
+        reshape = lambda t: t.reshape((s, b) + t.shape[1:])
+        return {
+            "bev": reshape(bev),
+            "targets": jax.tree_util.tree_map(reshape, targets),
+        }
+
+
+def create_train_loader(configs, dataset_cls=None, process_index: int = 0,
+                        process_count: int = 1):
+    """Reference create_train_dataloader parity (kitti_dataloader.py:18-33):
+    builds the dataset with the standard augmentation + the loader with the
+    effective-batch-64 subdivisions rule."""
+    from sfa3d_tpu.data.augment import default_train_aug
+    from sfa3d_tpu.data.kitti import KittiDataset
+
+    dataset_cls = dataset_cls or KittiDataset
+    dataset = dataset_cls(
+        configs.data.dataset_dir,
+        mode="train",
+        lidar_aug=default_train_aug(
+            configs.data.aug_prob,
+            configs.data.rotation_limit,
+            configs.data.scaling_range,
+        ),
+        hflip_prob=configs.data.hflip_prob,
+        num_samples=configs.data.num_samples,
+        max_objects=configs.data.max_objects,
+        seed=configs.runtime.seed,
+    )
+    subdivisions = max(1, configs.optim.effective_batch // configs.runtime.batch_size)
+    return KittiTrainLoader(
+        dataset,
+        batch_size=configs.runtime.batch_size,
+        subdivisions=subdivisions,
+        seed=configs.runtime.seed,
+        process_index=process_index,
+        process_count=process_count,
+    )
+
+
+def create_val_loader(configs, dataset_cls=None):
+    from sfa3d_tpu.data.kitti import KittiDataset
+
+    dataset_cls = dataset_cls or KittiDataset
+    dataset = dataset_cls(
+        configs.data.dataset_dir, mode="val", lidar_aug=None, hflip_prob=0.0,
+        num_samples=configs.data.num_samples, max_objects=configs.data.max_objects,
+    )
+    return KittiTrainLoader(
+        dataset, batch_size=configs.runtime.batch_size, subdivisions=1,
+        shuffle=False, drop_last=False,
+    )

@@ -85,6 +85,58 @@ def synthetic_scene(
     return points, np.asarray(labels, np.float32)
 
 
+def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
+                     splits=("train", "val", "test")) -> str:
+    """Materialize a tiny KITTI-layout dataset on disk from synthetic scenes
+    (velodyne .bin + calib .txt + label_2 .txt + ImageSets), so the full
+    dataset/loader/training path runs without the KITTI download. Extends the
+    reference's dummy-fixture idea (data_process/main_script.py:42-76)."""
+    import os
+
+    from sfa3d_tpu.config import kitti as cnf
+    from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
+
+    for sub in ("training", "testing"):
+        for d in ("velodyne", "calib", "label_2", "image_2"):
+            os.makedirs(os.path.join(root, sub, d), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
+
+    names = {0: "Pedestrian", 1: "Car", 2: "Cyclist"}
+    calib_lines = []
+    P2 = np.asarray(cnf.P2[:3]).reshape(-1)
+    R0 = np.asarray(cnf.R0[:3, :3]).reshape(-1)
+    V2C = np.asarray(cnf.Tr_velo_to_cam[:3]).reshape(-1)
+    zeros12 = " ".join(["0"] * 12)
+    for key, vals in [("P0", P2), ("P1", P2), ("P2", P2), ("P3", P2)]:
+        calib_lines.append(f"{key}: " + " ".join(f"{v:.12e}" for v in vals))
+    calib_lines.insert(4, "R0_rect: " + " ".join(f"{v:.12e}" for v in R0))
+    calib_lines.append("Tr_velo_to_cam: " + " ".join(f"{v:.12e}" for v in V2C))
+    calib_lines.append(f"Tr_imu_to_velo: {zeros12}")
+    # reorder to the canonical P0 P1 P2 P3 R0_rect Tr_velo_to_cam Tr_imu_to_velo
+    calib_txt = "\n".join(calib_lines[:4] + [calib_lines[4]] + calib_lines[5:]) + "\n"
+
+    for sub in ("training", "testing"):
+        for i in range(n_frames):
+            points, labels = synthetic_scene(seed=seed + i + (1000 if sub == "testing" else 0))
+            points.tofile(os.path.join(root, sub, "velodyne", f"{i:06d}.bin"))
+            with open(os.path.join(root, sub, "calib", f"{i:06d}.txt"), "w") as f:
+                f.write(calib_txt)
+            if sub == "training":
+                with open(os.path.join(root, sub, "label_2", f"{i:06d}.txt"), "w") as f:
+                    cam = np.asarray(lidar_to_camera_box(labels[:, 1:]))
+                    for row, c in zip(cam, labels[:, 0].astype(int)):
+                        x, y, z, h, w, l, ry = row
+                        f.write(
+                            f"{names[int(c)]} 0.0 0 0.0 0 0 50 50 "
+                            f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}\n"
+                        )
+    ids = "\n".join(f"{i:06d}" for i in range(n_frames)) + "\n"
+    for split in splits:
+        with open(os.path.join(root, "ImageSets", f"{split}.txt"), "w") as f:
+            f.write(ids)
+    return root
+
+
 def synthetic_batch_points(
     batch: int, max_points: int = cnf.MAX_POINTS, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,182 @@
+"""Argoverse layer: calibration JSON parsing, projection, distortion,
+motion compensation, BEV variant, dataset reader — against the synthetic
+mini-Argoverse fixture."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sfa3d_tpu.data.argoverse import ArgoverseDataset, load_ply_lidar, write_mini_argoverse
+from sfa3d_tpu.geometry.argoverse_calib import (
+    ArgoverseCalibration,
+    distort_radius,
+    get_city_SE3_egovehicle_at_sensor_t,
+    motion_compensate_points,
+    undistort_radius,
+)
+from sfa3d_tpu.geometry.se3 import SE3
+from sfa3d_tpu.ops.bev import argoverse_points_to_bev
+
+
+@pytest.fixture(scope="module")
+def mini_argo(tmp_path_factory):
+    root = tmp_path_factory.mktemp("argo")
+    return write_mini_argoverse(str(root), n_frames=2)
+
+
+def test_calibration_loading(mini_argo):
+    calib = ArgoverseCalibration(
+        os.path.join(mini_argo, "vehicle_calibration_info.json")
+    )
+    assert calib.P2.shape == (3, 3)
+    assert calib.P2[0, 0] == 1392.0
+    assert calib.L2C.shape == (4, 4)
+    R = calib.camera_config.extrinsic[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
+
+
+def test_projection_geometry(mini_argo):
+    """A point straight ahead of the ego vehicle must project near the
+    principal point; points behind the camera are NaN-masked."""
+    calib = ArgoverseCalibration(
+        os.path.join(mini_argo, "vehicle_calibration_info.json")
+    )
+    ahead = np.array([[20.0, 0.0, 1.4]])  # ego frame, on the camera axis
+    uv, valid = calib.project_ego_to_image(ahead)
+    assert valid.all()
+    np.testing.assert_allclose(uv[0], [980.0, 604.0], atol=2.0)
+
+    behind = np.array([[-20.0, 0.0, 1.4]])
+    uv, valid = calib.project_ego_to_image(behind)
+    assert not valid.any()
+    assert np.isnan(uv).all()
+
+    # lidar-frame projection chains through L2C consistently: the lidar sits
+    # at ego (1.35, 0, 1.68), so shift coordinates accordingly
+    pt_lidar = np.array([[20.0 - 1.35, 0.0, 1.4 - 1.68]])
+    uv_l, valid_l = calib.project_lidar_to_image(pt_lidar)
+    assert valid_l.all()
+    np.testing.assert_allclose(uv_l[0], [980.0, 604.0], atol=2.0)
+
+
+def test_image_to_ego_roundtrip(mini_argo):
+    calib = ArgoverseCalibration(
+        os.path.join(mini_argo, "vehicle_calibration_info.json")
+    )
+    pts = np.array([[15.0, 2.0, 0.5], [30.0, -5.0, 1.0]])
+    uv, valid = calib.project_ego_to_image(pts)
+    assert valid.all()
+    # depth along the camera axis == ego x - camera x offset
+    depth = pts[:, 0] - 1.6
+    back = calib.project_image_to_ego(np.hstack([uv, depth[:, None]]))
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+
+def test_distortion_roundtrip():
+    r = np.linspace(0.0, 0.8, 50)
+    rd = distort_radius(r)
+    ru = undistort_radius(rd)
+    np.testing.assert_allclose(ru, r, atol=1e-8)
+    # polynomial structure: r + k1 r^3 + k2 r^5 + k3 r^7
+    k = [-0.1, 0.05, -0.01]
+    manual = r + k[0] * r**3 + k[1] * r**5 + k[2] * r**7
+    np.testing.assert_allclose(distort_radius(r, k), manual, atol=1e-12)
+
+
+def test_motion_compensation(mini_argo):
+    ts0 = sorted(
+        int(f.split("_")[-1].split(".")[0])
+        for f in os.listdir(os.path.join(mini_argo, "log0", "poses"))
+    )
+    pose0 = get_city_SE3_egovehicle_at_sensor_t(ts0[0], mini_argo, "log0")
+    pose1 = get_city_SE3_egovehicle_at_sensor_t(ts0[1], mini_argo, "log0")
+    assert pose0 is not None and pose1 is not None
+    pts = np.array([[10.0, 0.0, 0.0]])
+    moved = motion_compensate_points(pts, pose0, pose1)
+    # ego moved +0.5m in x between stamps -> point shifts accordingly
+    assert abs(moved[0, 0] - 10.5) < 0.01
+    # identity when both poses equal
+    same = motion_compensate_points(pts, pose0, pose0)
+    np.testing.assert_allclose(same, pts, atol=1e-12)
+    assert get_city_SE3_egovehicle_at_sensor_t(12345, mini_argo, "log0") is None
+
+
+def test_argoverse_bev_kernel(rng):
+    """Segment-op BEV vs a numpy oracle of the reference's per-point loop
+    (argoverse_data_utils_copy.py:286-289)."""
+    n = 5000
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-60, 60, n)
+    pts[:, 1] = rng.uniform(-60, 60, n)
+    pts[:, 2] = rng.uniform(-4, 6, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    valid = np.ones(n, bool)
+    bev = np.asarray(argoverse_points_to_bev(jnp.asarray(pts), jnp.asarray(valid)))
+    assert bev.shape == (1000, 1000, 3)
+    assert bev.min() >= 0 and bev.max() <= 255
+
+    # oracle
+    b = {"minX": -50.0, "maxX": 50.0, "minY": -50.0, "maxY": 50.0, "minZ": -3.0, "maxZ": 5.0}
+    m = (
+        (pts[:, 0] >= b["minX"]) & (pts[:, 0] < b["maxX"])
+        & (pts[:, 1] >= b["minY"]) & (pts[:, 1] < b["maxY"])
+        & (pts[:, 2] >= b["minZ"]) & (pts[:, 2] < b["maxZ"])
+    )
+    x, y, z, i = pts[m, 0], pts[m, 1], pts[m, 2], pts[m, 3]
+    H = W = 1000
+    xi = np.clip(((b["maxX"] - x) / 0.1).astype(int), 0, H - 1)
+    yi = np.clip(((y - b["minY"]) / 0.1).astype(int), 0, W - 1)
+    hmap = np.zeros((H, W)); imap = np.zeros((H, W)); dmap = np.zeros((H, W))
+    for k in range(len(x)):
+        r, c = xi[k], yi[k]
+        hmap[r, c] = max(hmap[r, c], z[k])
+        imap[r, c] = max(imap[r, c], i[k])
+        dmap[r, c] += 1
+    dmap = np.log1p(dmap)
+
+    def norm(mp):
+        return (mp - mp.min()) / max(mp.max() - mp.min(), 1e-12) * 255.0
+
+    np.testing.assert_allclose(bev[..., 0], norm(dmap), atol=0.5)
+    np.testing.assert_allclose(bev[..., 1], norm(hmap), atol=0.5)
+    np.testing.assert_allclose(bev[..., 2], norm(imap), atol=0.5)
+
+
+def test_dataset_reader(mini_argo):
+    ds = ArgoverseDataset(mini_argo, mode="test")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s.points.shape == (131072, 4)
+    assert s.valid.sum() > 10000
+    assert int(s.n_labels) >= 1
+    lab = s.labels[: int(s.n_labels)]
+    assert set(lab[:, 0].astype(int)) <= {0, 1, 2}
+    assert s.calib is not None
+    # labels roundtrip through the quaternion encoding
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+
+    _, orig = synthetic_scene(seed=0)
+    m = (np.abs(orig[:, 1]) <= 50) & (np.abs(orig[:, 2]) <= 50)
+    orig = orig[m]
+    assert len(lab) == len(orig)
+    np.testing.assert_allclose(lab[:, 1:7], orig[:, 1:7], atol=1e-5)
+    dyaw = np.abs(np.mod(lab[:, 7] - (-orig[:, 7]) + np.pi, 2 * np.pi) - np.pi)
+    assert dyaw.max() < 1e-5
+
+
+def test_ply_loader(tmp_path, rng):
+    n = 100
+    pts = rng.uniform(-10, 10, (n, 4)).astype(np.float32)
+    path = str(tmp_path / "sweep.ply")
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {n}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"property float intensity\nend_header\n")
+        f.write(pts.astype("<f4").tobytes())
+    loaded = load_ply_lidar(path)
+    np.testing.assert_allclose(loaded, pts, atol=1e-6)
