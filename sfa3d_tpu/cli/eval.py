@@ -1,0 +1,87 @@
+"""KITTI AP evaluation entry point.
+
+Beyond-reference capability (the reference publishes AP numbers with no
+generating code, SURVEY.md section 2.6): run the detector over the val
+split and report per-class 3D / BEV AP against the ground-truth labels.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="sfa3d_tpu KITTI AP evaluation")
+    p.add_argument("--arch", type=str, default="fpn_resnet_18")
+    p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--dataset_dir", type=str, default="./dataset/kitti")
+    p.add_argument("--split", type=str, default="val", choices=["train", "val"])
+    p.add_argument("--K", type=int, default=50)
+    p.add_argument("--peak_thresh", type=float, default=0.2)
+    p.add_argument("--metric", type=str, default="3d", choices=["3d", "bev"])
+    p.add_argument("--num_samples", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+
+    from sfa3d_tpu.data.kitti import KittiDataset
+    from sfa3d_tpu.eval import evaluate_kitti_ap
+    from sfa3d_tpu.models import create_model
+    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.pipeline import detect_frames, init_detector
+
+    args = parse_args(argv)
+    model = create_model(args.arch)
+    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
+        variables = load_torch_checkpoint(
+            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
+        )
+    else:
+        variables = init_detector(model, jax.random.PRNGKey(0))
+        print("WARNING: random weights (no --pretrained_path); AP will be ~0")
+
+    dataset = KittiDataset(
+        args.dataset_dir, mode=args.split, hflip_prob=0.0,
+        num_samples=args.num_samples,
+    )
+    detections, ground_truths = [], []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        out = detect_frames(
+            model, variables, sample.points[None], sample.valid[None],
+            K=args.K, peak_thresh=args.peak_thresh,
+        )
+        mask = np.asarray(out["mask"])[0]
+        real = np.asarray(out["boxes_real"])[0]
+        scores = np.asarray(out["detections"])[0, :, 0]
+        detections.append(
+            {
+                "boxes": real[mask][:, 1:8],
+                "scores": scores[mask],
+                "classes": real[mask][:, 0].astype(int),
+            }
+        )
+        lab = sample.labels[: int(sample.n_labels)]
+        # dataset labels store raw velodyne yaw; detector emits the same
+        ground_truths.append(
+            {"boxes": lab[:, 1:8], "classes": lab[:, 0].astype(int)}
+        )
+        if (idx + 1) % 50 == 0:
+            print(f"{idx + 1}/{len(dataset)} frames")
+
+    results = evaluate_kitti_ap(detections, ground_truths, metric=args.metric)
+    names = {0: "Pedestrian", 1: "Car", 2: "Cyclist"}
+    for cls, name in names.items():
+        key = f"AP_{cls}"
+        if key in results:
+            print(f"AP_{args.metric} {name}: {results[key] * 100:.2f}")
+    print(f"mAP_{args.metric}: {results['mAP'] * 100:.2f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

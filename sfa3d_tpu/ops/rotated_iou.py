@@ -1,0 +1,121 @@
+"""Rotated-box IoU (BEV and 3D) as fixed-shape JAX programs.
+
+No reference analog — the reference has NO mAP/IoU-3D implementation at all
+(SURVEY.md section 2.6: "evaluation = val-loss plus visual inspection") —
+but its README claims KITTI AP numbers, so the framework provides the
+evaluation capability: rotated-rectangle intersection via Sutherland-Hodgman
+clipping with a fixed 8-vertex budget (rect clipped by 4 half-planes gains
+at most one vertex per edge), fully vmappable, plus the KITTI-style 3D IoU
+(BEV polygon overlap x vertical overlap).
+
+Box convention: (x, y, w, l, yaw) BEV rectangles — w along the box's local
+y, l along local x, matching this framework's velodyne-frame boxes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_MAX_VERTS = 8
+
+
+def box_corners_bev(box: jax.Array) -> jax.Array:
+    """(5,) [x, y, w, l, yaw] -> (4, 2) CCW corners."""
+    x, y, w, l, yaw = box[0], box[1], box[2], box[3], box[4]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    local = jnp.array(
+        [[0.5, 0.5], [-0.5, 0.5], [-0.5, -0.5], [0.5, -0.5]]
+    ) * jnp.stack([l, w])
+    rot = jnp.array([[c, -s], [s, c]])
+    return local @ rot.T + jnp.stack([x, y])
+
+
+def _polygon_area(verts: jax.Array, n: jax.Array) -> jax.Array:
+    """Shoelace area of the first n vertices of a padded (M, 2) polygon."""
+    m = verts.shape[0]
+    idx = jnp.arange(m)
+    nxt = jnp.where(idx + 1 < n, idx + 1, 0)
+    active = idx < n
+    x, y = verts[:, 0], verts[:, 1]
+    cross = x * y[nxt] - x[nxt] * y
+    return 0.5 * jnp.abs(jnp.sum(jnp.where(active, cross, 0.0)))
+
+
+def _clip_by_halfplane(verts, n, a, b):
+    """Clip padded polygon (verts, n) by the half-plane on the left of edge
+    a->b. Returns (new_verts, new_n) with the same _MAX_VERTS padding."""
+    m = verts.shape[0]
+    edge = b - a
+
+    def side(p):
+        return edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0])
+
+    idx = jnp.arange(m)
+    nxt = jnp.where(idx + 1 < n, idx + 1, 0)
+    cur = verts
+    nx = verts[nxt]
+    s_cur = jax.vmap(side)(cur)
+    s_nxt = jax.vmap(side)(nx)
+    active = idx < n
+
+    denom = s_cur - s_nxt
+    t = s_cur / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    inter = cur + (nx - cur) * t[:, None]
+
+    # each active edge emits up to 2 points: current (if inside) and the
+    # intersection (if the edge crosses the plane)
+    emit_cur = active & (s_cur >= 0)
+    emit_int = active & ((s_cur >= 0) != (s_nxt >= 0))
+
+    # compact with a fixed-size scatter: positions via cumulative counts
+    counts = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    out = jnp.zeros((_MAX_VERTS, 2))
+    pos_cur = jnp.clip(offsets, 0, _MAX_VERTS - 1)
+    pos_int = jnp.clip(offsets + emit_cur.astype(jnp.int32), 0, _MAX_VERTS - 1)
+    out = out.at[pos_cur].add(jnp.where(emit_cur[:, None], cur, 0.0))
+    out = out.at[pos_int].add(jnp.where(emit_int[:, None], inter, 0.0))
+    return out, jnp.minimum(jnp.sum(counts), _MAX_VERTS)
+
+
+def rotated_intersection_area(box1: jax.Array, box2: jax.Array) -> jax.Array:
+    """Intersection area of two (5,) rotated BEV rectangles."""
+    poly = jnp.zeros((_MAX_VERTS, 2)).at[:4].set(box_corners_bev(box1))
+    n = jnp.int32(4)
+    clip = box_corners_bev(box2)
+    for i in range(4):
+        poly, n = _clip_by_halfplane(poly, n, clip[i], clip[(i + 1) % 4])
+    return jnp.where(n >= 3, _polygon_area(poly, n), 0.0)
+
+
+def iou_bev_rotated(box1: jax.Array, box2: jax.Array) -> jax.Array:
+    inter = rotated_intersection_area(box1, box2)
+    a1 = box1[2] * box1[3]
+    a2 = box2[2] * box2[3]
+    return inter / jnp.maximum(a1 + a2 - inter, 1e-12)
+
+
+def iou_3d(box1: jax.Array, box2: jax.Array) -> jax.Array:
+    """KITTI-style 3D IoU for (7,) [x, y, z, h, w, l, yaw] velodyne boxes
+    (z is the BOTTOM of the box, z..z+h extent)."""
+    inter_bev = rotated_intersection_area(
+        jnp.stack([box1[0], box1[1], box1[4], box1[5], box1[6]]),
+        jnp.stack([box2[0], box2[1], box2[4], box2[5], box2[6]]),
+    )
+    z1_lo, z1_hi = box1[2], box1[2] + box1[3]
+    z2_lo, z2_hi = box2[2], box2[2] + box2[3]
+    h_overlap = jnp.maximum(
+        0.0, jnp.minimum(z1_hi, z2_hi) - jnp.maximum(z1_lo, z2_lo)
+    )
+    inter = inter_bev * h_overlap
+    v1 = box1[3] * box1[4] * box1[5]
+    v2 = box2[3] * box2[4] * box2[5]
+    return inter / jnp.maximum(v1 + v2 - inter, 1e-12)
+
+
+# pairwise matrices, jitted once
+pairwise_iou_bev_rotated = jax.jit(
+    jax.vmap(jax.vmap(iou_bev_rotated, (None, 0)), (0, None))
+)
+pairwise_iou_3d = jax.jit(jax.vmap(jax.vmap(iou_3d, (None, 0)), (0, None)))
