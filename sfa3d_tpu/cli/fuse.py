@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--peak_thresh", type=float, default=0.2)
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--output_dir", type=str, default="./results/fusion")
+    p.add_argument("--side_by_side", action="store_true",
+                   help="also save separate {id}_yolov8.jpg / {id}_sfa3d.jpg "
+                        "comparison images (test3.py parity)")
     return p.parse_args(argv)
 
 
@@ -107,6 +110,32 @@ def main(argv=None):
         dt = time.time() - t0
         counts_before.append(len(yb) + int(np.asarray(out["mask"])[0].sum()))
         counts_after.append(len(result["boxes"]))
+
+        if args.side_by_side:
+            # test3.py parity: separate per-model comparison images
+            from sfa3d_tpu.fusion.boxes2d import project_boxes_to_image
+            import jax.numpy as jnp
+
+            img_y = img.copy()
+            for (x, y, w, h), score in zip(yb, ys):
+                cv2.rectangle(img_y, (x, y), (x + w, y + h), (0, 255, 255), 2)
+                cv2.putText(img_y, f"{score:.2f}", (x, max(0, y - 4)),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 255), 1)
+            cv2.imwrite(os.path.join(args.output_dir, f"{sample.sample_id:06d}_yolov8.jpg"), img_y)
+
+            img_s = img.copy()
+            s2d, sval = project_boxes_to_image(
+                jnp.asarray(np.asarray(out["boxes_real"])[0]),
+                jnp.asarray(np.asarray(out["detections"])[0, :, 0]),
+                jnp.asarray(np.asarray(out["mask"])[0]),
+                jnp.asarray(calib.V2C), jnp.asarray(calib.R0), jnp.asarray(calib.P2),
+                img_h=img.shape[0], img_w=img.shape[1],
+                conf_gate=args.confidence_threshold,
+            )
+            for (x, y, w, h), ok in zip(np.asarray(s2d).astype(int), np.asarray(sval)):
+                if ok:
+                    cv2.rectangle(img_s, (x, y), (x + w, y + h), (255, 0, 0), 2)
+            cv2.imwrite(os.path.join(args.output_dir, f"{sample.sample_id:06d}_sfa3d.jpg"), img_s)
 
         for (x, y, w, h), score, cls, src in zip(
             result["boxes"], result["scores"], result["classes"], result["source"]

@@ -182,6 +182,68 @@ class ArgoverseDataset:
         )
 
 
+class ArgoverseTrainLoader:
+    """Batched loader for the Argoverse pipeline (argoverse_dataloader.py
+    parity): yields train-step batches like data/loader.KittiTrainLoader but
+    rasterizes with the Argoverse BEV kernel and builds targets with the
+    Argoverse boundary. The 1000x1000 raster is center-cropped to the
+    608x608 detector input (matching the effective extent the reference's
+    608-px config covers at 0.1 m/px)."""
+
+    def __init__(self, dataset: "ArgoverseDataset", batch_size: int,
+                 subdivisions: int = 1, shuffle: bool = True, seed: int = 2020):
+        from sfa3d_tpu.data.loader import EpochSampler
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.subdivisions = subdivisions
+        self.sampler = EpochSampler(len(dataset), shuffle, seed)
+
+    def set_epoch(self, epoch: int):
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.dataset) // (self.batch_size * self.subdivisions)
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        from sfa3d_tpu.ops.bev import argoverse_points_to_bev
+        from sfa3d_tpu.ops.targets import build_targets
+
+        per_step = self.batch_size * self.subdivisions
+        chunk = []
+        for idx in self.sampler:
+            chunk.append(self.dataset[idx])
+            if len(chunk) < per_step:
+                continue
+            pts = jnp.asarray(np.stack([s.points for s in chunk]))
+            val = jnp.asarray(np.stack([s.valid for s in chunk]))
+            lab = jnp.asarray(np.stack([s.labels for s in chunk]))
+            nl = jnp.asarray(np.asarray([s.n_labels for s in chunk], np.int32))
+
+            b = acnf.boundary
+            argo_bound = (b["minX"], b["maxX"], b["minY"], b["maxY"], b["minZ"], b["maxZ"])
+
+            def prep(p, v, la, n):
+                bev = argoverse_points_to_bev(p, v) / 255.0
+                h, w = bev.shape[:2]
+                y0, x0 = (h - 608) // 2, (w - 608) // 2
+                bev = jax.lax.dynamic_slice(bev, (y0, x0, 0), (608, 608, 3))
+                tg = build_targets(la, n, jnp.bool_(False), bound=argo_bound)
+                return bev, tg
+
+            bev, targets = jax.jit(jax.vmap(prep))(pts, val, lab, nl)
+            s, b = self.subdivisions, self.batch_size
+            reshape = lambda t: t.reshape((s, b) + t.shape[1:])
+            yield {
+                "bev": reshape(bev),
+                "targets": jax.tree_util.tree_map(reshape, targets),
+            }
+            chunk = []
+
+
 def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:
     """Synthetic Argoverse-layout fixture: lidar .bin sweeps + dummy camera
     jpgs + track_label.json + vehicle_calibration_info.json + per-frame

@@ -68,7 +68,7 @@ def _gaussian_splat(center_int, radius, hm_h: int, hm_w: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_classes", "hm_size", "max_objects"),
+    static_argnames=("num_classes", "hm_size", "max_objects", "bound"),
 )
 def build_targets(
     labels: jax.Array,
@@ -78,6 +78,11 @@ def build_targets(
     num_classes: int = 3,
     hm_size: Tuple[int, int] = (152, 152),
     max_objects: int = 50,
+    bound: Tuple[float, float, float, float, float, float] = (
+        cnf.boundary["minX"], cnf.boundary["maxX"],
+        cnf.boundary["minY"], cnf.boundary["maxY"],
+        cnf.boundary["minZ"], cnf.boundary["maxZ"],
+    ),
 ) -> Dict[str, jax.Array]:
     """Build training targets for one sample.
 
@@ -96,9 +101,7 @@ def build_targets(
       indices_center: (max_objects,) int32 flat y*W+x, obj_mask: (max_objects,)
     """
     hm_h, hm_w = hm_size
-    min_x, max_x = cnf.boundary["minX"], cnf.boundary["maxX"]
-    min_y, max_y = cnf.boundary["minY"], cnf.boundary["maxY"]
-    min_z, max_z = cnf.boundary["minZ"], cnf.boundary["maxZ"]
+    min_x, max_x, min_y, max_y, min_z, max_z = bound
     bsx, bsy = max_x - min_x, max_y - min_y
 
     slot_ids = jnp.arange(max_objects)

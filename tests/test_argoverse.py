@@ -180,3 +180,17 @@ def test_ply_loader(tmp_path, rng):
         f.write(pts.astype("<f4").tobytes())
     loaded = load_ply_lidar(path)
     np.testing.assert_allclose(loaded, pts, atol=1e-6)
+
+
+def test_argoverse_train_loader(mini_argo):
+    from sfa3d_tpu.data.argoverse import ArgoverseTrainLoader
+
+    ds = ArgoverseDataset(mini_argo, mode="train")
+    loader = ArgoverseTrainLoader(ds, batch_size=2, subdivisions=1)
+    batch = next(iter(loader))
+    assert batch["bev"].shape == (1, 2, 608, 608, 3)
+    assert batch["targets"]["hm_cen"].shape == (1, 2, 152, 152, 3)
+    assert float(batch["targets"]["obj_mask"].sum()) > 0
+    # targets built with the Argoverse boundary: centers spread over the map
+    hm = np.asarray(batch["targets"]["hm_cen"])
+    assert hm.max() == 1.0
