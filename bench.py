@@ -84,7 +84,7 @@ def main():
         return jnp.asarray(pts), jnp.asarray(valid)
 
     best = None
-    for batch in (16, 64):
+    for batch in (16, 64, 128):
         pts, valid = make_batch(batch)
         iters = max(8, 256 // batch)
         dt = run_batch(fn, variables, pts, valid, iters)

@@ -15,6 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -25,6 +26,25 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(data: int, spatial: int, devices=None) -> Mesh:
+    """(data x spatial) mesh for combined data + spatial parallelism.
+
+    Beyond-reference capability: sharding the BEV raster's H axis over the
+    'spatial' axis splits each convolution spatially across chips — XLA's
+    SPMD partitioner inserts the halo exchanges — which is the TPU-native
+    answer to the reference's only knob for larger detection areas
+    (editing boundary/DISCRETIZATION constants, SURVEY.md section 5
+    "long-context" row).
+    """
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data * spatial, (
+        f"need {data * spatial} devices, have {len(devices)}"
+    )
+    arr = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:

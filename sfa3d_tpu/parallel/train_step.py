@@ -108,6 +108,22 @@ def make_train_step(model, tx: optax.GradientTransformation, mesh=None) -> Calla
         return jax.jit(step_fn, donate_argnums=0)
 
     repl = NamedSharding(mesh, P())
+    if "spatial" in mesh.axis_names:
+        # combined data + spatial parallelism: batch over 'data', BEV rows
+        # over 'spatial' (XLA inserts conv halo exchanges); the flat target
+        # tensors only shard the batch axis.
+        bev_sharding = NamedSharding(mesh, P(None, "data", "spatial"))
+        tgt_sharding = NamedSharding(mesh, P(None, "data"))
+        # in_shardings accepts a pytree prefix: one sharding covers the
+        # whole targets subtree
+        jitted = jax.jit(
+            step_fn,
+            donate_argnums=0,
+            in_shardings=(repl, {"bev": bev_sharding, "targets": tgt_sharding}),
+            out_shardings=(repl, repl),
+        )
+        return jitted
+
     data = NamedSharding(mesh, P(None, "data"))  # (S, B, ...) shard B
     return jax.jit(
         step_fn,
