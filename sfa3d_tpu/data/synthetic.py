@@ -19,11 +19,14 @@ from sfa3d_tpu.config import kitti as cnf
 
 def synthetic_scene(
     seed: int = 0,
-    n_ground: int = 90000,
-    n_clutter: int = 20000,
+    n_ground: int = 20000,
+    n_clutter: int = 6000,
     n_objects: int = 12,
-    points_per_object: int = 1500,
+    points_per_object: int = 800,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    # Defaults sized so the front-range filter keeps ~25-30k points —
+    # matching real KITTI scans (raw ~120k, in-range 15-25k) and fitting the
+    # MAX_POINTS_FILTERED padding budget without silent truncation.
     """Returns (points (N,4) float32 velodyne, labels (M,8) float32 rows
     [cls, x, y, z, h, w, l, yaw(velodyne rz)])."""
     rng = np.random.default_rng(seed)

@@ -151,9 +151,18 @@ def make_bev_map(points: np.ndarray, boundary: Dict[str, float] = cnf.boundary) 
     (kitti_bev_utils.py:22-55) — but takes the RAW (unfiltered, unshifted)
     scan and returns (H, W, 3) float32 HWC (the reference returns CHW with
     pre-filtered input).
+
+    The scan is range-filtered on the host BEFORE padding so raw KITTI-sized
+    clouds (~120k points) never truncate: the front-range filter keeps well
+    under the padded budget.
     """
     points = np.asarray(points, dtype=np.float32)
-    padded, valid = _pad_raw(points)
+    mask = (
+        (points[:, 0] >= boundary["minX"]) & (points[:, 0] <= boundary["maxX"])
+        & (points[:, 1] >= boundary["minY"]) & (points[:, 1] <= boundary["maxY"])
+        & (points[:, 2] >= boundary["minZ"]) & (points[:, 2] <= boundary["maxZ"])
+    )
+    padded, valid = _pad_raw(points[mask], cnf.MAX_POINTS_FILTERED)
     bound = (
         boundary["minX"], boundary["maxX"],
         boundary["minY"], boundary["maxY"],

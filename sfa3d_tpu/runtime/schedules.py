@@ -87,6 +87,22 @@ def create_momentum_schedule(cfg: OptimConfig, num_epochs: int, steps_per_epoch:
     return sched
 
 
+def range_finder_schedule(num_epochs: int, lr_min: float = 1e-7, lr_max: float = 1.0) -> Callable:
+    """Log-space LR sweep for learning-rate range tests (RangeFinder,
+    lr_scheduler.py:227-250): epoch e gets 10^(lerp(log10 lr_min, log10
+    lr_max)). Run a short training with this schedule and pick the LR where
+    the loss drops fastest."""
+    import numpy as np
+
+    lrs = np.logspace(math.log10(lr_min), math.log10(lr_max), num_epochs)
+
+    def sched(step):
+        e = jnp.clip(step, 0, num_epochs - 1)
+        return jnp.asarray(lrs)[e]
+
+    return sched
+
+
 def create_optimizer(cfg: OptimConfig, num_epochs: int, steps_per_epoch: int) -> optax.GradientTransformation:
     """Optimizer + schedule bundle (train_utils.py:29-77)."""
     lr = create_lr_schedule(cfg, num_epochs, steps_per_epoch)

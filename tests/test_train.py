@@ -174,3 +174,15 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert latest_checkpoint(str(tmp_path), "t") == path
+
+
+def test_range_finder_schedule():
+    from sfa3d_tpu.runtime.schedules import range_finder_schedule
+
+    sched = range_finder_schedule(num_epochs=10, lr_min=1e-6, lr_max=1e-1)
+    assert float(sched(0)) == pytest.approx(1e-6, rel=1e-5)
+    assert float(sched(9)) == pytest.approx(1e-1, rel=1e-5)
+    vals = [float(sched(i)) for i in range(10)]
+    ratios = [b / a for a, b in zip(vals, vals[1:])]
+    # log-spaced: constant multiplicative step
+    assert all(r == pytest.approx(ratios[0], rel=1e-4) for r in ratios)
