@@ -110,12 +110,21 @@ class KFPN(nn.Module):
     pre-sigmoid. With `capture_features=True` also returns the backbone /
     pyramid / attention tensors used by the KFPN introspection visualizer
     (parity with get_visualization_data, fpn_resnet.py:256-263).
+
+    `fused_heads=True` computes all five head towers per pyramid level as
+    ONE Conv3x3(C -> 5*head_conv) + ReLU + Conv1x1(5*head_conv -> 11) pair —
+    bit-identical to the separate towers when the 1x1 weight is
+    block-diagonal (see fuse_head_params). Measured on TPU v5e it is NOT
+    faster (0.93 vs 0.70 ms/frame at batch 32: XLA already schedules the 15
+    separate towers well, and the block-diagonal 1x1 adds dead FLOPs); kept
+    as an option for backends where many small convolutions dispatch poorly.
     """
 
     num_layers: int = 18
     head_conv: int = 64
     heads: Tuple[Tuple[str, int], ...] = tuple(sorted(HEADS.items()))
     dtype: Any = jnp.float32
+    fused_heads: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture_features: bool = False):
@@ -142,6 +151,36 @@ class KFPN(nn.Module):
         ret = {}
         viz = {"backbone": (out1, out2, out3, out4), "pyramid": levels,
                "fpn_outputs": {}, "kfpn_weights": {}}
+
+        if self.fused_heads:
+            n_heads = len(self.heads)
+            total_out = sum(c for _, c in self.heads)
+            fused_levels = []
+            for idx, feat in enumerate(levels):
+                o = nn.Conv(
+                    n_heads * self.head_conv, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=True, dtype=self.dtype, name=f"fused{idx}_conv1",
+                )(feat)
+                o = nn.relu(o)
+                o = nn.Conv(
+                    total_out, (1, 1), use_bias=True, dtype=self.dtype,
+                    name=f"fused{idx}_conv2",
+                )(o)
+                if o.shape[1] != up4.shape[1] or o.shape[2] != up4.shape[2]:
+                    o = upsample2x_nearest(o)
+                fused_levels.append(o)
+            off = 0
+            for head, out_ch in self.heads:
+                outs = [lvl[..., off : off + out_ch] for lvl in fused_levels]
+                ret[head], weights = apply_kfpn(outs)
+                if capture_features:
+                    viz["fpn_outputs"][head] = outs
+                    viz["kfpn_weights"][head] = weights
+                off += out_ch
+            if capture_features:
+                return ret, viz
+            return ret
+
         for head, out_ch in self.heads:
             level_outs = []
             for idx, feat in enumerate(levels):
@@ -160,6 +199,46 @@ class KFPN(nn.Module):
         if capture_features:
             return ret, viz
         return ret
+
+
+def fuse_head_params(variables, heads=tuple(sorted(HEADS.items())), head_conv: int = 64):
+    """Transform standard per-head tower params into the fused-heads layout:
+    conv1 kernels/biases concatenate along the output channel; conv2 becomes
+    block-diagonal (each head's 64 hidden channels feed only its outputs).
+    Numerically identical outputs; returns a new variables dict for
+    KFPN(fused_heads=True)."""
+    import numpy as np
+
+    params = dict(variables["params"])
+    new_params = {k: v for k, v in params.items() if not k.startswith("fpn")}
+    n_heads = len(heads)
+    total_out = sum(c for _, c in heads)
+    for idx in range(3):
+        k1s, b1s = [], []
+        for head, _ in heads:
+            tower = params[f"fpn{idx}_{head}"]
+            k1s.append(np.asarray(tower["conv1"]["kernel"]))
+            b1s.append(np.asarray(tower["conv1"]["bias"]))
+        new_params[f"fused{idx}_conv1"] = {
+            "kernel": np.concatenate(k1s, axis=-1),
+            "bias": np.concatenate(b1s, axis=-1),
+        }
+        k2 = np.zeros((1, 1, n_heads * head_conv, total_out), np.float32)
+        b2 = np.zeros((total_out,), np.float32)
+        off_in = off_out = 0
+        for head, out_ch in heads:
+            tower = params[f"fpn{idx}_{head}"]
+            k2[:, :, off_in : off_in + head_conv, off_out : off_out + out_ch] = (
+                np.asarray(tower["conv2"]["kernel"])
+            )
+            b2[off_out : off_out + out_ch] = np.asarray(tower["conv2"]["bias"])
+            off_in += head_conv
+            off_out += out_ch
+        new_params[f"fused{idx}_conv2"] = {"kernel": k2, "bias": b2}
+    out = {"params": new_params}
+    if "batch_stats" in variables:
+        out["batch_stats"] = variables["batch_stats"]
+    return out
 
 
 def apply_kfpn(outs):

@@ -112,3 +112,20 @@ def test_head_shapes():
     out = model.apply(variables, jnp.zeros((2, 608, 608, 3)), train=False)
     for head, ch in HEADS.items():
         assert out[head].shape == (2, 152, 152, ch), head
+
+
+def test_fused_heads_bit_exact(rng):
+    """KFPN(fused_heads=True) with fuse_head_params-transformed weights must
+    reproduce the standard per-head towers exactly."""
+    from sfa3d_tpu.models.kfpn import KFPN, fuse_head_params
+
+    std = create_model("fpn_resnet_18")
+    v = init_detector(std, jax.random.PRNGKey(1), input_size=(64, 64))
+    fused = KFPN(num_layers=18, fused_heads=True)
+    vf = fuse_head_params(v)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    o1 = std.apply(v, x, train=False)
+    o2 = fused.apply(vf, x, train=False)
+    for k in o1:
+        # bit-exact on TPU; CPU conv algorithms accumulate differently (~3e-5)
+        np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-4)
