@@ -19,3 +19,12 @@ Host-side code (file IO, OpenCV drawing) lives in `data/` and `viz/`.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: keep `import sfa3d_tpu` cheap (no jax import at module load)
+    if name == "Detector":
+        from sfa3d_tpu.detector import Detector
+
+        return Detector
+    raise AttributeError(name)

@@ -1,0 +1,121 @@
+"""High-level detector facade — the one-object API for users switching from
+the reference.
+
+    from sfa3d_tpu import Detector
+
+    det = Detector()                                  # random init
+    det = Detector(checkpoint="Model_fpn_resnet_18_epoch_300.pth")  # torch
+    det = Detector(checkpoint="checkpoints/Model_smoke_epoch_2")    # orbax
+
+    boxes = det.detect(points)        # (N, 4) raw velodyne points
+    boxes = det.detect_file("000001.bin")
+
+Returns a list of dicts {'class_id', 'class_name', 'score', 'x', 'y', 'z',
+'h', 'w', 'l', 'yaw'} in the metric velodyne frame.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sfa3d_tpu.config import kitti as cnf
+
+
+class Detector:
+    def __init__(
+        self,
+        arch: str = "fpn_resnet_18",
+        checkpoint: Optional[str] = None,
+        K: int = 50,
+        peak_thresh: float = 0.2,
+        dtype: str = "bfloat16",
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from sfa3d_tpu.models import create_model
+        from sfa3d_tpu.pipeline import init_detector
+
+        jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.model = create_model(arch, dtype=jdtype)
+        self.K = K
+        self.peak_thresh = peak_thresh
+        self.arch = arch
+
+        if checkpoint is None:
+            self.variables = init_detector(self.model, jax.random.PRNGKey(0))
+        elif checkpoint.endswith(".pth"):
+            from sfa3d_tpu.models.port import load_torch_checkpoint
+
+            num_layers = int(arch.split("_")[-1])
+            self.variables = load_torch_checkpoint(checkpoint, num_layers, arch)
+        else:
+            # orbax composite saved by runtime/checkpoint.py
+            from sfa3d_tpu.runtime.checkpoint import load_params_only
+
+            self.variables = load_params_only(checkpoint)
+
+    def detect(self, points: np.ndarray) -> List[Dict]:
+        """(N, 4) raw velodyne scan -> list of detection dicts."""
+        import jax.numpy as jnp
+
+        from sfa3d_tpu.ops.bev import _pad_raw
+        from sfa3d_tpu.pipeline import detect_frames
+
+        points = np.asarray(points, np.float32)
+        b = cnf.boundary
+        m = (
+            (points[:, 0] >= b["minX"]) & (points[:, 0] <= b["maxX"])
+            & (points[:, 1] >= b["minY"]) & (points[:, 1] <= b["maxY"])
+            & (points[:, 2] >= b["minZ"]) & (points[:, 2] <= b["maxZ"])
+        )
+        pts, valid = _pad_raw(points[m], cnf.MAX_POINTS_FILTERED)
+        out = detect_frames(
+            self.model, self.variables, jnp.asarray(pts[None]),
+            jnp.asarray(valid[None]), K=self.K, peak_thresh=self.peak_thresh,
+        )
+        mask = np.asarray(out["mask"])[0]
+        real = np.asarray(out["boxes_real"])[0]
+        scores = np.asarray(out["detections"])[0, :, 0]
+        dets = []
+        for row, score in zip(real[mask], scores[mask]):
+            cls = int(row[0])
+            dets.append(
+                {
+                    "class_id": cls,
+                    "class_name": cnf.ID_TO_CLASS_NAME.get(cls, str(cls)),
+                    "score": float(score),
+                    "x": float(row[1]), "y": float(row[2]), "z": float(row[3]),
+                    "h": float(row[4]), "w": float(row[5]), "l": float(row[6]),
+                    "yaw": float(row[7]),
+                }
+            )
+        return dets
+
+    def detect_file(self, velodyne_bin: str) -> List[Dict]:
+        points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)
+        return self.detect(points)
+
+    def write_kitti_results(self, dets: List[Dict], calib, path: str):
+        """Write detections as a KITTI submission-format label file (one row
+        per detection, camera-frame, score appended)."""
+        from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            for d in dets:
+                box = np.asarray(
+                    [[d["x"], d["y"], d["z"], d["h"], d["w"], d["l"], d["yaw"]]]
+                )
+                cam = np.asarray(
+                    lidar_to_camera_box(box, calib.V2C, calib.R0, calib.P2)
+                )[0]
+                x, y, z, h, w, l, ry = cam
+                f.write(
+                    f"{d['class_name']} 0.00 0 0.00 0 0 50 50 "
+                    f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
+                    f"{ry:.2f} {d['score']:.4f}\n"
+                )

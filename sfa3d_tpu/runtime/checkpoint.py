@@ -58,6 +58,18 @@ def load_checkpoint(path: str, template_state: TrainState, epoch_hint: int = 0):
     return state, int(restored["epoch"])
 
 
+def load_params_only(path: str) -> dict:
+    """Restore just {'params', 'batch_stats'} from a composite checkpoint
+    without needing the optimizer-state template (inference-side loads,
+    e.g. the Detector facade)."""
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    return {
+        "params": restored["params"],
+        "batch_stats": restored.get("batch_stats", {}),
+    }
+
+
 def load_pretrained_params(state: TrainState, variables: dict) -> TrainState:
     """Weights-only load (reference --pretrained_path, train.py:104-108):
     keep optimizer state, replace params/batch_stats."""
