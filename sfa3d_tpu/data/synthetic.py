@@ -133,10 +133,16 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
                             f"{names[int(c)]} 0.0 0 0.0 0 0 50 50 "
                             f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}\n"
                         )
-    ids = "\n".join(f"{i:06d}" for i in range(n_frames)) + "\n"
-    for split in splits:
-        with open(os.path.join(root, "ImageSets", f"{split}.txt"), "w") as f:
-            f.write(ids)
+    if isinstance(splits, dict):
+        # disjoint splits: {'train': range(0, 16), 'val': range(16, 24)}
+        for split, id_range in splits.items():
+            with open(os.path.join(root, "ImageSets", f"{split}.txt"), "w") as f:
+                f.write("\n".join(f"{i:06d}" for i in id_range) + "\n")
+    else:
+        ids = "\n".join(f"{i:06d}" for i in range(n_frames)) + "\n"
+        for split in splits:
+            with open(os.path.join(root, "ImageSets", f"{split}.txt"), "w") as f:
+                f.write(ids)
     return root
 
 

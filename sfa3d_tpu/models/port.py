@@ -129,6 +129,66 @@ def port_deconv_state_dict(state_dict: Mapping[str, Any], num_layers: int = 18):
     return {"params": params, "batch_stats": stats}
 
 
+def export_kfpn_state_dict(variables, num_layers: int = 18) -> Dict[str, "np.ndarray"]:
+    """Inverse of port_kfpn_state_dict: flax KFPN variables -> a reference
+    PoseResNet state_dict (numpy values; wrap with torch.tensor to load into
+    the torch model). Gives reference users a migration path back."""
+    from sfa3d_tpu.models.kfpn import HEADS
+    from sfa3d_tpu.models.resnet import RESNET_SPEC, Bottleneck
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_convbn(flax_node, stats_node, torch_conv, torch_bn):
+        sd[f"{torch_conv}.weight"] = np.asarray(flax_node["conv"]["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in flax_node["conv"]:
+            sd[f"{torch_conv}.bias"] = np.asarray(flax_node["conv"]["bias"])
+        sd[f"{torch_bn}.weight"] = np.asarray(flax_node["bn"]["scale"])
+        sd[f"{torch_bn}.bias"] = np.asarray(flax_node["bn"]["bias"])
+        sd[f"{torch_bn}.running_mean"] = np.asarray(stats_node["bn"]["mean"])
+        sd[f"{torch_bn}.running_var"] = np.asarray(stats_node["bn"]["var"])
+        sd[f"{torch_bn}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+    bb_p, bb_s = params["backbone"], stats["backbone"]
+    put_convbn(bb_p["stem"], bb_s["stem"], "conv1", "bn1")
+    block_cls, counts = RESNET_SPEC[num_layers]
+    n_convs = 3 if block_cls is Bottleneck else 2
+    for stage, blocks in enumerate(counts):
+        for i in range(blocks):
+            f = f"layer{stage + 1}_{i}"
+            t = f"layer{stage + 1}.{i}"
+            for c in range(1, n_convs + 1):
+                put_convbn(bb_p[f][f"cb{c}"], bb_s[f][f"cb{c}"], f"{t}.conv{c}", f"{t}.bn{c}")
+            if "downsample" in bb_p[f]:
+                put_convbn(bb_p[f]["downsample"], bb_s[f]["downsample"],
+                           f"{t}.downsample.0", f"{t}.downsample.1")
+
+    for lvl in (1, 2, 3):
+        node = params[f"conv_up_level{lvl}"]
+        sd[f"conv_up_level{lvl}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"conv_up_level{lvl}.bias"] = np.asarray(node["bias"])
+
+    for idx in range(3):
+        for head in HEADS:
+            t = f"fpn{idx}_{head}"
+            node = params[t]
+            sd[f"{t}.0.weight"] = np.asarray(node["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+            sd[f"{t}.0.bias"] = np.asarray(node["conv1"]["bias"])
+            sd[f"{t}.2.weight"] = np.asarray(node["conv2"]["kernel"]).transpose(3, 2, 0, 1)
+            sd[f"{t}.2.bias"] = np.asarray(node["conv2"]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, variables, num_layers: int = 18):
+    """Write a reference-loadable Model_*.pth from flax variables."""
+    import torch
+
+    sd = {k: torch.tensor(v) for k, v in export_kfpn_state_dict(variables, num_layers).items()}
+    torch.save(sd, path)
+    return path
+
+
 def load_torch_checkpoint(path: str, num_layers: int = 18, arch: str = "fpn_resnet"):
     """Load a reference .pth checkpoint file into flax variables."""
     import torch

@@ -129,3 +129,34 @@ def test_fused_heads_bit_exact(rng):
     for k in o1:
         # bit-exact on TPU; CPU conv algorithms accumulate differently (~3e-5)
         np.testing.assert_allclose(np.asarray(o1[k]), np.asarray(o2[k]), atol=1e-4)
+
+
+@pytest.mark.skipif(not ref_loader.available(), reason="reference tree absent")
+def test_export_roundtrip_to_torch(rng, tmp_path):
+    """Our params -> torch state_dict -> reference model must reproduce our
+    outputs (the migration path BACK to the reference)."""
+    import torch
+
+    from sfa3d_tpu.models.port import save_torch_checkpoint
+
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(9), input_size=(64, 64))
+    pth = str(tmp_path / "exported.pth")
+    save_torch_checkpoint(pth, variables)
+
+    mod = ref_loader.load("models.fpn_resnet")
+    ref_model = mod.get_pose_net(18, dict(HEADS), 64, imagenet_pretrained=False)
+    missing, unexpected = ref_model.load_state_dict(
+        torch.load(pth, weights_only=True), strict=True
+    )
+    ref_model.eval()
+
+    x = rng.normal(0, 0.5, (1, 64, 64, 3)).astype(np.float32)
+    ours = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+    for head in HEADS:
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(ours[head]), (0, 3, 1, 2)),
+            ref[head].numpy(), atol=1e-3, err_msg=head,
+        )
