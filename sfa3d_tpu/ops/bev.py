@@ -95,6 +95,9 @@ def points_to_bev(
     min_x, max_x, min_y, max_y, min_z, max_z = bound
     discretization = (max_x - min_x) / bev_height
     x, y, z, r = points[:, 0], points[:, 1], points[:, 2], points[:, 3]
+    # NaN coordinates fail the range comparisons below and drop out, but a
+    # NaN intensity on an otherwise-valid point would poison the packed key:
+    r = jnp.nan_to_num(r)
 
     in_range = (
         (x >= min_x) & (x <= max_x)

@@ -25,6 +25,9 @@ assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
 )
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws from the same fresh seed, so test
+    # data does not depend on execution order (a session-scoped generator
+    # made tolerances flake under -x vs full-suite runs)
     return np.random.default_rng(2020)
