@@ -78,8 +78,6 @@ def main():
         for b in range(batch):
             scan, _ = synthetic_scene(seed=b)
             p, v = filter_and_pad_points(scan, max_points=n)
-            # kernel re-applies the range filter; undo the z shift
-            p[v, 2] += cnf.boundary["minZ"]
             pts[b], valid[b] = p, v
         return jnp.asarray(pts), jnp.asarray(valid)
 

@@ -66,9 +66,6 @@ def main(argv=None):
         points, valid, img_path = dataset[idx]
         t0 = time.time()
         front_bev = points_to_bev(jnp.asarray(points), jnp.asarray(valid))
-        _, front_real, front_mask = detect_bev(
-            model, variables, front_bev[None], K=args.K, peak_thresh=args.peak_thresh
-        )
         dets_front, _ = _detect_boxes(model, variables, front_bev, args)
         panels = [_draw_panel(front_bev, dets_front)]
 
@@ -76,8 +73,9 @@ def main(argv=None):
             back_bev = points_to_bev(
                 jnp.asarray(points), jnp.asarray(valid), bound=back_bound
             )
-            # rear view is detected on the W-mirrored raster (demo_utils.py:110-111)
-            back_bev = back_bev[:, ::-1, :]
+            # rear view is detected on the H+W-mirrored raster (reference
+            # do_detect flips both axes, demo_utils.py:110: flip(bev, [1, 2]))
+            back_bev = back_bev[::-1, ::-1, :]
             dets_back, _ = _detect_boxes(model, variables, back_bev, args)
             panels.append(cv2.rotate(_draw_panel(back_bev, dets_back), cv2.ROTATE_180))
 
@@ -103,15 +101,15 @@ def main(argv=None):
 
 
 def _detect_boxes(model, variables, bev, args):
+    """ONE inference pass; returns BEV-pixel boxes for drawing + metric boxes."""
     import numpy as np
 
+    from sfa3d_tpu.ops.decode import post_processing
     from sfa3d_tpu.pipeline import detect_bev
 
     dets, real, mask = detect_bev(
         model, variables, bev[None], K=args.K, peak_thresh=args.peak_thresh
     )
-    from sfa3d_tpu.ops.decode import post_processing
-
     boxes_bev, m = post_processing(dets, peak_thresh=args.peak_thresh)
     return (np.asarray(boxes_bev)[0], np.asarray(m)[0]), np.asarray(real)[0]
 

@@ -46,6 +46,13 @@ def main(argv=None):
         os.path.splitext(f)[0] for f in os.listdir(left_dir) if f.endswith(".png")
     )[: args.num_samples]
 
+    yolo = None
+    if args.run_yolo:
+        # construct (and compile) once, not per frame
+        from sfa3d_tpu.models.yolov8 import YOLOv8Detector
+
+        yolo = YOLOv8Detector(scale="n")
+
     n_ok = 0
     for sid in ids:
         left = cv2.imread(os.path.join(left_dir, f"{sid}.png"), cv2.IMREAD_GRAYSCALE)
@@ -68,10 +75,7 @@ def main(argv=None):
             os.path.join(args.output_dir, f"{sid}_estimated_calib.txt"), calib, result
         )
 
-        if args.run_yolo and result.success:
-            from sfa3d_tpu.models.yolov8 import YOLOv8Detector
-
-            yolo = YOLOv8Detector(scale="n")
+        if yolo is not None and result.success:
             img = cv2.imread(os.path.join(left_dir, f"{sid}.png"))
             boxes, confs, classes = yolo(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
             for (x, y, w, h), c in zip(boxes, confs):

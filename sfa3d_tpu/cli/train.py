@@ -87,7 +87,9 @@ def main(argv=None):
         logger.info(f"val_loss: {val_loss:.4e}")
         return
 
-    global_step = 0
+    # resume keeps the schedule position: the optimizer keys off state.step,
+    # so logging/frequency counters must too
+    global_step = int(np.asarray(state.step))
     for epoch in range(start_epoch, configs.runtime.num_epochs + 1):
         logger.info(f">>> Epoch: [{epoch}/{configs.runtime.num_epochs}]")
         train_loader.set_epoch(epoch)
@@ -134,6 +136,8 @@ def main(argv=None):
 
 
 def validate(val_loader, state, eval_step, mesh) -> float:
+    import jax
+
     from sfa3d_tpu.parallel import shard_batch
 
     total, n = 0.0, 0
@@ -144,9 +148,19 @@ def validate(val_loader, state, eval_step, mesh) -> float:
                 k: v.reshape((-1,) + v.shape[2:]) for k, v in batch["targets"].items()
             },
         }
+        n_samples = flat["bev"].shape[0]
+        n_dev = mesh.devices.size
+        if n_samples % n_dev != 0:
+            # batch axis must divide the mesh; trim the tail remainder
+            # (documented loss of < n_dev samples once per validation)
+            n_samples = (n_samples // n_dev) * n_dev
+            if n_samples == 0:
+                continue
+            flat = jax.tree_util.tree_map(lambda t: t[:n_samples], flat)
         stats = eval_step(state, shard_batch(mesh, flat))
-        total += float(stats["total_loss"])
-        n += 1
+        # weight by sample count: the tail batch can be smaller
+        total += float(stats["total_loss"]) * n_samples
+        n += n_samples
     return total / max(1, n)
 
 

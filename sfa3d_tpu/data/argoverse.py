@@ -207,10 +207,6 @@ class ArgoverseTrainLoader:
 
     def __iter__(self):
         import jax
-        import jax.numpy as jnp
-
-        from sfa3d_tpu.ops.bev import argoverse_points_to_bev
-        from sfa3d_tpu.ops.targets import build_targets
 
         per_step = self.batch_size * self.subdivisions
         chunk = []
@@ -218,23 +214,12 @@ class ArgoverseTrainLoader:
             chunk.append(self.dataset[idx])
             if len(chunk) < per_step:
                 continue
-            pts = jnp.asarray(np.stack([s.points for s in chunk]))
-            val = jnp.asarray(np.stack([s.valid for s in chunk]))
-            lab = jnp.asarray(np.stack([s.labels for s in chunk]))
-            nl = jnp.asarray(np.asarray([s.n_labels for s in chunk], np.int32))
-
-            b = acnf.boundary
-            argo_bound = (b["minX"], b["maxX"], b["minY"], b["maxY"], b["minZ"], b["maxZ"])
-
-            def prep(p, v, la, n):
-                bev = argoverse_points_to_bev(p, v) / 255.0
-                h, w = bev.shape[:2]
-                y0, x0 = (h - 608) // 2, (w - 608) // 2
-                bev = jax.lax.dynamic_slice(bev, (y0, x0, 0), (608, 608, 3))
-                tg = build_targets(la, n, jnp.bool_(False), bound=argo_bound)
-                return bev, tg
-
-            bev, targets = jax.jit(jax.vmap(prep))(pts, val, lab, nl)
+            bev, targets = _argo_prepare_batch(
+                np.stack([s.points for s in chunk]),
+                np.stack([s.valid for s in chunk]),
+                np.stack([s.labels for s in chunk]),
+                np.asarray([s.n_labels for s in chunk], np.int32),
+            )
             s, b = self.subdivisions, self.batch_size
             reshape = lambda t: t.reshape((s, b) + t.shape[1:])
             yield {
@@ -242,6 +227,63 @@ class ArgoverseTrainLoader:
                 "targets": jax.tree_util.tree_map(reshape, targets),
             }
             chunk = []
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _argo_prep_fn():
+    """Build the jitted prep function ONCE (per-batch jax.jit construction
+    would retrace and recompile every batch)."""
+
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.ops.bev import argoverse_points_to_bev
+    from sfa3d_tpu.ops.targets import build_targets
+
+    half = 30.4  # (608 px * 0.1 m/px) / 2
+    b = acnf.boundary
+    crop_bound = (0.0, 2 * half, -half, half, b["minZ"], b["maxZ"])
+
+    @jax.jit
+    def prep_batch(pts, val, lab, nl):
+        def one(p, v, la, n):
+            bev = argoverse_points_to_bev(p, v) / 255.0
+            h, w = bev.shape[:2]
+            y0, x0 = (h - 608) // 2, (w - 608) // 2
+            bev = jax.lax.dynamic_slice(bev, (y0, x0, 0), (608, 608, 3))
+            la_crop = jnp.concatenate(
+                [
+                    la[:, 0:1],
+                    half - la[:, 1:2],  # x' = 30.4 - x (mirrored row axis)
+                    la[:, 2:3],
+                    la[:, 3:7],
+                    jnp.pi - la[:, 7:8],  # heading reflected by the x-mirror
+                ],
+                axis=1,
+            )
+            tg = build_targets(la_crop, n, jnp.bool_(False), bound=crop_bound)
+            return bev, tg
+
+        return jax.vmap(one)(pts, val, lab, nl)
+
+    return prep_batch
+
+
+def _argo_prepare_batch(points, valid, labels, n_labels):
+    """Argoverse raster + center crop + geometry-matched targets.
+
+    The 1000-px raster maps row = (maxX - x)/0.1 (x FLIPPED) and
+    col = (y - minY)/0.1; the detector consumes the center 608-px crop,
+    covering x, y in (-30.4, 30.4] at 2.5 heatmap px/m. To reuse the KITTI
+    target builder (row increasing with x), labels are mirrored into that
+    crop frame: x' = 30.4 - x (row' = (30.4 - x) * 2.5 == (raster_row-196)/4),
+    y unchanged with bound (-30.4, 30.4), and yaw reflected (pi - yaw, since
+    the x-mirror reverses heading). h/w/l and z are invariant.
+    """
+    return _argo_prep_fn()(points, valid, labels, n_labels)
 
 
 def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:

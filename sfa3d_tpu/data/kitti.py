@@ -242,6 +242,17 @@ class DemoKittiDataset:
             os.path.join(self.lidar_dir, f"{sid:010d}.bin"), dtype=np.float32
         ).reshape(-1, 4)
         img_path = os.path.join(self.image_dir, f"{sid:010d}.png")
+        # host-filter to the UNION of the front and back detection windows
+        # before padding — truncating raw ~120k-point scans would silently
+        # drop a contiguous azimuth sector (see CLAUDE.md invariants). The
+        # two-sided window keeps well under the pad budget.
+        fb, bb = cnf.boundary, cnf.boundary_back
+        m = (
+            (points[:, 0] >= bb["minX"]) & (points[:, 0] <= fb["maxX"])
+            & (points[:, 1] >= fb["minY"]) & (points[:, 1] <= fb["maxY"])
+            & (points[:, 2] >= fb["minZ"]) & (points[:, 2] <= fb["maxZ"])
+        )
+        points = points[m]
         out = np.zeros((self.max_points, 4), np.float32)
         valid = np.zeros((self.max_points,), bool)
         n = min(len(points), self.max_points)

@@ -110,11 +110,13 @@ class KittiTrainLoader:
                 yield self._collate(chunk)
                 chunk = []
         if chunk and not self.drop_last:
-            while len(chunk) < per_step:  # pad by repeating (rare tail)
-                chunk.append(chunk[-1])
-            yield self._collate(chunk)
+            # yield the tail as a genuinely smaller batch (the reference's
+            # DataLoader semantics): padding by repetition would overweight
+            # the repeated sample in validation losses. Costs one extra
+            # compile per distinct tail size.
+            yield self._collate(chunk, batch_size=len(chunk), subdivisions=1)
 
-    def _collate(self, samples):
+    def _collate(self, samples, batch_size=None, subdivisions=None):
         points = np.stack([s.points for s in samples])
         valid = np.stack([s.valid for s in samples])
         labels = np.stack([s.labels for s in samples])
@@ -125,7 +127,8 @@ class KittiTrainLoader:
             jnp.asarray(points), jnp.asarray(valid), jnp.asarray(labels),
             jnp.asarray(n_labels), jnp.asarray(hflip),
         )
-        s, b = self.subdivisions, self.batch_size
+        s = subdivisions if subdivisions is not None else self.subdivisions
+        b = batch_size if batch_size is not None else self.batch_size
         reshape = lambda t: t.reshape((s, b) + t.shape[1:])
         return {
             "bev": reshape(bev),

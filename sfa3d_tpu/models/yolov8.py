@@ -290,7 +290,12 @@ def select_detections(
     keep = hard_nms(xywh_off, top_conf, valid, iou_thresh)
 
     final_conf = jnp.where(keep, top_conf, -1.0)
-    sel_conf, sel = jax.lax.top_k(final_conf, max_det)
+    k = min(max_det, n_cand)  # tiny inputs can have fewer anchors than max_det
+    sel_conf, sel = jax.lax.top_k(final_conf, k)
+    pad = max_det - k
+    if pad:
+        sel_conf = jnp.concatenate([sel_conf, jnp.full((pad,), -1.0)])
+        sel = jnp.concatenate([sel, jnp.zeros((pad,), sel.dtype)])
     return (
         top_boxes[sel],
         jnp.where(sel_conf > 0, sel_conf, 0.0),
@@ -340,16 +345,21 @@ class YOLOv8Detector:
         self.variables = variables
 
         @jax.jit
-        def _run(variables, img):
+        def _run(variables, img, conf_thresh):
             outs = self.model.apply(variables, img, train=False)
             boxes, scores = decode_predictions(outs)
-            return select_detections(boxes[0], scores[0])
+            return select_detections(boxes[0], scores[0], conf_thresh=conf_thresh)
 
         self._run = _run
 
     def __call__(self, image_rgb: np.ndarray, conf: float = 0.25):
         img, r, (pad_w, pad_h) = letterbox(image_rgb, self.imgsz)
-        b, s, c, v = self._run(self.variables, jnp.asarray(img)[None])
+        # conf is threaded into the jitted selection (a traced scalar, so no
+        # recompile per value); an inner hardcoded gate would silently clamp
+        # user thresholds below the default
+        b, s, c, v = self._run(
+            self.variables, jnp.asarray(img)[None], jnp.float32(conf)
+        )
         b, s, c, v = map(np.asarray, (b, s, c, v))
         keep = v & (s >= conf)
         b = b[keep]

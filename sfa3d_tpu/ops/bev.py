@@ -46,9 +46,10 @@ def filter_and_pad_points(
     fixed (max_points, 4) tensor plus a validity mask.
 
     Matches reference get_filtered_lidar (kitti_data_utils.py:228-251)
-    INCLUDING the z -= minZ shift. Padded rows are zeros with mask False.
-    The device path (`points_to_bev`) can also do the filtering itself; this
-    helper exists for callers that want the filtered cloud on the host too.
+    EXCEPT the z -= minZ shift: the device kernel (`points_to_bev`) applies
+    the shift itself, so this output feeds it directly — composing the two
+    public APIs is safe by construction (a shifted output here would make
+    the kernel's z-range gate silently drop most points).
     """
     points = np.asarray(points, dtype=np.float32)
     mask = (
@@ -60,7 +61,6 @@ def filter_and_pad_points(
         & (points[:, 2] <= boundary["maxZ"])
     )
     kept = points[mask][:max_points]
-    kept[:, 2] -= boundary["minZ"]
     out = np.zeros((max_points, 4), dtype=np.float32)
     out[: len(kept)] = kept
     valid = np.zeros((max_points,), dtype=bool)

@@ -194,3 +194,52 @@ def test_argoverse_train_loader(mini_argo):
     # targets built with the Argoverse boundary: centers spread over the map
     hm = np.asarray(batch["targets"]["hm_cen"])
     assert hm.max() == 1.0
+
+
+def test_argoverse_targets_align_with_raster():
+    """Regression: heatmap targets must land where the object sits in the
+    CROPPED, x-flipped Argoverse raster (code-review finding: the original
+    loader used the KITTI orientation over the full ±50 m bound)."""
+    from sfa3d_tpu.data.argoverse import _argo_prepare_batch
+
+    x_obj, y_obj = 12.0, -8.0
+    # a dense point cluster at the object + sparse background
+    rng = np.random.default_rng(0)
+    n = 4096
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(-40, 40, n)
+    pts[:, 1] = rng.uniform(-40, 40, n)
+    pts[:, 2] = rng.uniform(-1, 1, n)
+    pts[:, 3] = 0.5
+    pts[:512, 0] = x_obj + rng.uniform(-1, 1, 512)
+    pts[:512, 1] = y_obj + rng.uniform(-1, 1, 512)
+    valid = np.ones(n, bool)
+
+    labels = np.zeros((50, 8), np.float32)
+    labels[0] = [1, x_obj, y_obj, -1.5, 1.5, 1.8, 4.0, 0.3]
+    bev, tg = _argo_prepare_batch(
+        pts[None], valid[None], labels[None], np.asarray([1], np.int32)
+    )
+    hm = np.asarray(tg["hm_cen"])[0]  # (152, 152, 3)
+    assert hm.max() == 1.0
+    peak = np.unravel_index(hm[:, :, 1].argmax(), hm[:, :, 1].shape)
+
+    # independent raster-space position: crop row = (maxX-x)/0.1 - 196,
+    # heatmap = /4 (x axis flipped); col = (y+50)/0.1 - 196, /4
+    want_row = int((((50.0 - x_obj) / 0.1) - 196) / 4)
+    want_col = int((((y_obj + 50.0) / 0.1) - 196) / 4)
+    assert abs(peak[0] - want_row) <= 1, (peak, want_row)
+    assert abs(peak[1] - want_col) <= 1, (peak, want_col)
+
+    # and the raster itself is dense there: the object cluster must appear
+    # in the density channel around (4*row, 4*col) of the crop
+    bev0 = np.asarray(bev)[0]
+    window = bev0[4 * want_row - 8 : 4 * want_row + 8,
+                  4 * want_col - 8 : 4 * want_col + 8, 0]
+    assert window.mean() > bev0[..., 0].mean() * 2, "object cluster not under the target peak"
+
+    # yaw reflection: direction target encodes pi - yaw, negated by the
+    # builder => sin(-(pi-0.3)), cos(-(pi-0.3))
+    d = np.asarray(tg["direction"])[0, 0]
+    want = np.array([np.sin(-(np.pi - 0.3)), np.cos(-(np.pi - 0.3))], np.float32)
+    np.testing.assert_allclose(d, want, atol=1e-5)

@@ -54,9 +54,6 @@ def test_filter_and_pad_matches_device_filter(rng):
     bev_fused = np.asarray(points_to_bev(padded_raw, valid_raw))
 
     filtered, fmask = filter_and_pad_points(scan, max_points=8192)
-    # pre-filtered points have shifted z; unshift so the kernel re-shifts
-    filtered = filtered.copy()
-    filtered[fmask, 2] += cnf.boundary["minZ"]
     bev_two_step = np.asarray(points_to_bev(filtered, fmask))
 
     np.testing.assert_allclose(bev_fused, bev_two_step, atol=1e-6)
