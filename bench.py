@@ -87,6 +87,7 @@ def main():
         iters = max(8, 256 // batch)
         dt = run_batch(fn, variables, pts, valid, iters)
         fps = batch * iters / dt
+        # mean over the chained loop (no per-iteration samples exist by design)
         per_frame_ms = dt / iters / batch * 1000.0
         if best is None or fps > best[0]:
             best = (fps, per_frame_ms, batch)
@@ -99,7 +100,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / 40.2, 3),
-                "p50_latency_ms_per_frame": round(p50_ms, 3),
+                "mean_latency_ms_per_frame": round(p50_ms, 3),
                 "batch": batch,
                 "device": str(jax.devices()[0]),
             }

@@ -39,8 +39,7 @@ def main(argv=None):
     from sfa3d_tpu.config import argoverse as acnf
     from sfa3d_tpu.data.argoverse import ArgoverseDataset
     from sfa3d_tpu.geometry.transforms import center_to_corner_box3d
-    from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.ops.bev import argoverse_points_to_bev
     from sfa3d_tpu.pipeline import detect_bev, init_detector
 
@@ -48,12 +47,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = create_model(args.arch)
-    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
-        variables = load_torch_checkpoint(
-            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
-        )
-    else:
-        variables = init_detector(model, jax.random.PRNGKey(0))
+    variables = load_variables(args.pretrained_path, args.arch, model)
 
     dataset = ArgoverseDataset(
         args.dataset_dir, mode="test",
@@ -71,7 +65,7 @@ def main(argv=None):
             h, w = bev.shape[:2]
             y0, x0 = (h - 608) // 2, (w - 608) // 2
             bev_crop = bev[y0 : y0 + 608, x0 : x0 + 608, :] / 255.0
-            dets, real, mask = detect_bev(
+            dets, _bev_boxes, real, mask = detect_bev(
                 model, variables, bev_crop[None], K=50, peak_thresh=args.peak_thresh
             )
             n_det = int(np.asarray(mask).sum())

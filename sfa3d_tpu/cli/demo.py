@@ -38,21 +38,14 @@ def main(argv=None):
 
     from sfa3d_tpu.config import kitti as cnf
     from sfa3d_tpu.data.kitti import DemoKittiDataset
-    from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.ops.bev import points_to_bev
     from sfa3d_tpu.pipeline import detect_bev, init_detector
     from sfa3d_tpu.viz.draw import bev_map_to_image, draw_predictions_bev, merge_rgb_to_bev
-    from sfa3d_tpu.ops.decode import post_processing
 
     args = parse_args(argv)
     model = create_model(args.arch)
-    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
-        variables = load_torch_checkpoint(
-            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
-        )
-    else:
-        variables = init_detector(model, jax.random.PRNGKey(0))
+    variables = load_variables(args.pretrained_path, args.arch, model)
 
     dataset = DemoKittiDataset(args.drive_dir)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -104,14 +97,12 @@ def _detect_boxes(model, variables, bev, args):
     """ONE inference pass; returns BEV-pixel boxes for drawing + metric boxes."""
     import numpy as np
 
-    from sfa3d_tpu.ops.decode import post_processing
     from sfa3d_tpu.pipeline import detect_bev
 
-    dets, real, mask = detect_bev(
+    _, boxes_bev, real, mask = detect_bev(
         model, variables, bev[None], K=args.K, peak_thresh=args.peak_thresh
     )
-    boxes_bev, m = post_processing(dets, peak_thresh=args.peak_thresh)
-    return (np.asarray(boxes_bev)[0], np.asarray(m)[0]), np.asarray(real)[0]
+    return (np.asarray(boxes_bev)[0], np.asarray(mask)[0]), np.asarray(real)[0]
 
 
 def _draw_panel(bev, dets):

@@ -30,19 +30,12 @@ def main(argv=None):
 
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.eval import evaluate_kitti_ap
-    from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.pipeline import detect_frames, init_detector
 
     args = parse_args(argv)
     model = create_model(args.arch)
-    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
-        variables = load_torch_checkpoint(
-            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
-        )
-    else:
-        variables = init_detector(model, jax.random.PRNGKey(0))
-        print("WARNING: random weights (no --pretrained_path); AP will be ~0")
+    variables = load_variables(args.pretrained_path, args.arch, model)
 
     dataset = KittiDataset(
         args.dataset_dir, mode=args.split, hflip_prob=0.0,

@@ -50,8 +50,7 @@ def main(argv=None):
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
-    from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector, port_ultralytics_state_dict
     from sfa3d_tpu.pipeline import detect_frames, init_detector
 
@@ -59,12 +58,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = create_model(args.arch)
-    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
-        variables = load_torch_checkpoint(
-            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
-        )
-    else:
-        variables = init_detector(model, jax.random.PRNGKey(0))
+    variables = load_variables(args.pretrained_path, args.arch, model)
 
     yolo_vars = None
     if args.yolo_weights and os.path.isfile(args.yolo_weights):

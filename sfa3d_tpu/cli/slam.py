@@ -43,8 +43,7 @@ def main(argv=None):
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
-    from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.models.yolov8 import YOLOv8Detector
     from sfa3d_tpu.pipeline import detect_frames, init_detector
     from sfa3d_tpu.slam import get_calibration_from_slam
@@ -53,12 +52,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = create_model(args.arch)
-    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
-        variables = load_torch_checkpoint(
-            args.pretrained_path, int(args.arch.split("_")[-1]), args.arch
-        )
-    else:
-        variables = init_detector(model, jax.random.PRNGKey(0))
+    variables = load_variables(args.pretrained_path, args.arch, model)
     yolo = YOLOv8Detector(scale="n")
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)

@@ -44,8 +44,7 @@ def main(argv=None):
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
-    from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.pipeline import detect_frames, init_detector
     from sfa3d_tpu.viz.draw import (
         bev_map_to_image,
@@ -56,11 +55,7 @@ def main(argv=None):
 
     args = parse_args(argv)
     model = create_model(args.arch)
-    if args.pretrained_path and args.pretrained_path.endswith(".pth"):
-        num_layers = int(args.arch.split("_")[-1])
-        variables = load_torch_checkpoint(args.pretrained_path, num_layers, args.arch)
-    else:
-        variables = init_detector(model, jax.random.PRNGKey(0))
+    variables = load_variables(args.pretrained_path, args.arch, model)
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     os.makedirs(args.output_dir, exist_ok=True)

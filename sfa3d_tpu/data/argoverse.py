@@ -160,18 +160,11 @@ class ArgoverseDataset:
         timestamp = os.path.splitext(os.path.basename(lidar_path))[0]
         points = load_lidar(lidar_path)
 
-        b = acnf.boundary
-        m = (
-            (points[:, 0] >= b["minX"]) & (points[:, 0] <= b["maxX"])
-            & (points[:, 1] >= b["minY"]) & (points[:, 1] <= b["maxY"])
-            & (points[:, 2] >= b["minZ"]) & (points[:, 2] <= b["maxZ"])
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        pts, valid = filter_and_pad_points(
+            points, max_points=self.max_points, boundary=acnf.boundary
         )
-        points = points[m]
-        pts = np.zeros((self.max_points, 4), np.float32)
-        valid = np.zeros((self.max_points,), bool)
-        n = min(len(points), self.max_points)
-        pts[:n] = points[:n]
-        valid[:n] = True
 
         labels = self._labels_for(timestamp)
         lab = np.zeros((self.max_objects, 8), np.float32)
@@ -184,49 +177,25 @@ class ArgoverseDataset:
 
 class ArgoverseTrainLoader:
     """Batched loader for the Argoverse pipeline (argoverse_dataloader.py
-    parity): yields train-step batches like data/loader.KittiTrainLoader but
-    rasterizes with the Argoverse BEV kernel and builds targets with the
-    Argoverse boundary. The 1000x1000 raster is center-cropped to the
-    608x608 detector input (matching the effective extent the reference's
-    608-px config covers at 0.1 m/px)."""
+    parity): a KittiTrainLoader parameterized with the Argoverse prepare
+    function (Argoverse raster + center crop + geometry-matched targets),
+    so sampler/collate/tail/process-sharding behavior stays identical
+    across datasets."""
 
-    def __init__(self, dataset: "ArgoverseDataset", batch_size: int,
-                 subdivisions: int = 1, shuffle: bool = True, seed: int = 2020):
-        from sfa3d_tpu.data.loader import EpochSampler
+    def __new__(cls, dataset, batch_size: int, subdivisions: int = 1,
+                shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
+                process_index: int = 0, process_count: int = 1):
+        from sfa3d_tpu.data.loader import KittiTrainLoader
 
-        self.dataset = dataset
-        self.batch_size = batch_size
-        self.subdivisions = subdivisions
-        self.sampler = EpochSampler(len(dataset), shuffle, seed)
+        def prepare(points, valid, labels, n_labels, hflip):
+            # hflip augmentation is a KITTI-path feature; Argoverse samples
+            # carry no hflipped attr (always False)
+            return _argo_prepare_batch(points, valid, labels, n_labels)
 
-    def set_epoch(self, epoch: int):
-        self.sampler.set_epoch(epoch)
-
-    def __len__(self):
-        return len(self.dataset) // (self.batch_size * self.subdivisions)
-
-    def __iter__(self):
-        import jax
-
-        per_step = self.batch_size * self.subdivisions
-        chunk = []
-        for idx in self.sampler:
-            chunk.append(self.dataset[idx])
-            if len(chunk) < per_step:
-                continue
-            bev, targets = _argo_prepare_batch(
-                np.stack([s.points for s in chunk]),
-                np.stack([s.valid for s in chunk]),
-                np.stack([s.labels for s in chunk]),
-                np.asarray([s.n_labels for s in chunk], np.int32),
-            )
-            s, b = self.subdivisions, self.batch_size
-            reshape = lambda t: t.reshape((s, b) + t.shape[1:])
-            yield {
-                "bev": reshape(bev),
-                "targets": jax.tree_util.tree_map(reshape, targets),
-            }
-            chunk = []
+        return KittiTrainLoader(
+            dataset, batch_size, subdivisions, shuffle, seed, drop_last,
+            process_index, process_count, prepare_fn=prepare,
+        )
 
 
 import functools

@@ -151,23 +151,12 @@ class KittiDataset:
         return os.path.join(self.image_dir, f"{sample_id:06d}.png")
 
     def _pad_points(self, points: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Host range-filter (get_filtered_lidar parity, WITHOUT the z shift
-        — the device kernel shifts) then pad. Raw KITTI scans (~120k points)
-        exceed any sane pad budget, but the front-range filter keeps <25k,
-        so filtering before padding loses nothing."""
-        b = cnf.boundary
-        m = (
-            (points[:, 0] >= b["minX"]) & (points[:, 0] <= b["maxX"])
-            & (points[:, 1] >= b["minY"]) & (points[:, 1] <= b["maxY"])
-            & (points[:, 2] >= b["minZ"]) & (points[:, 2] <= b["maxZ"])
-        )
-        points = points[m]
-        out = np.zeros((self.max_points, 4), np.float32)
-        valid = np.zeros((self.max_points,), bool)
-        n = min(len(points), self.max_points)
-        out[:n] = points[:n]
-        valid[:n] = True
-        return out, valid
+        """Host range-filter then pad (raw KITTI scans ~120k points exceed
+        any sane pad budget; the front-range filter keeps <25k). Delegates
+        to the shared ops.bev.filter_and_pad_points."""
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        return filter_and_pad_points(points, max_points=self.max_points)
 
     def _pad_labels(self, labels: np.ndarray) -> Tuple[np.ndarray, np.int32]:
         out = np.zeros((self.max_objects, 8), np.float32)
@@ -246,16 +235,10 @@ class DemoKittiDataset:
         # before padding — truncating raw ~120k-point scans would silently
         # drop a contiguous azimuth sector (see CLAUDE.md invariants). The
         # two-sided window keeps well under the pad budget.
-        fb, bb = cnf.boundary, cnf.boundary_back
-        m = (
-            (points[:, 0] >= bb["minX"]) & (points[:, 0] <= fb["maxX"])
-            & (points[:, 1] >= fb["minY"]) & (points[:, 1] <= fb["maxY"])
-            & (points[:, 2] >= fb["minZ"]) & (points[:, 2] <= fb["maxZ"])
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        union = dict(cnf.boundary, minX=cnf.boundary_back["minX"])
+        out, valid = filter_and_pad_points(
+            points, max_points=self.max_points, boundary=union
         )
-        points = points[m]
-        out = np.zeros((self.max_points, 4), np.float32)
-        valid = np.zeros((self.max_points,), bool)
-        n = min(len(points), self.max_points)
-        out[:n] = points[:n]
-        valid[:n] = True
         return out, valid, img_path

@@ -84,7 +84,8 @@ class KittiTrainLoader:
 
     def __init__(self, dataset, batch_size: int, subdivisions: int = 1,
                  shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 prepare_fn=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.subdivisions = subdivisions
@@ -92,6 +93,9 @@ class KittiTrainLoader:
             len(dataset), shuffle, seed, process_index, process_count
         )
         self.drop_last = drop_last
+        # device-side sample prep: (points, valid, labels, n_labels, hflip)
+        # -> (bev, targets); defaults to the KITTI pipeline
+        self.prepare_fn = prepare_fn or prepare_train_batch
 
     def __len__(self):
         per_step = self.batch_size * self.subdivisions
@@ -123,7 +127,7 @@ class KittiTrainLoader:
         n_labels = np.asarray([s.n_labels for s in samples], np.int32)
         hflip = np.asarray([getattr(s, "hflipped", False) for s in samples])
 
-        bev, targets = prepare_train_batch(
+        bev, targets = self.prepare_fn(
             jnp.asarray(points), jnp.asarray(valid), jnp.asarray(labels),
             jnp.asarray(n_labels), jnp.asarray(hflip),
         )

@@ -62,17 +62,10 @@ class Detector:
         """(N, 4) raw velodyne scan -> list of detection dicts."""
         import jax.numpy as jnp
 
-        from sfa3d_tpu.ops.bev import _pad_raw
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
         from sfa3d_tpu.pipeline import detect_frames
 
-        points = np.asarray(points, np.float32)
-        b = cnf.boundary
-        m = (
-            (points[:, 0] >= b["minX"]) & (points[:, 0] <= b["maxX"])
-            & (points[:, 1] >= b["minY"]) & (points[:, 1] <= b["maxY"])
-            & (points[:, 2] >= b["minZ"]) & (points[:, 2] <= b["maxZ"])
-        )
-        pts, valid = _pad_raw(points[m], cnf.MAX_POINTS_FILTERED)
+        pts, valid = filter_and_pad_points(points, max_points=cnf.MAX_POINTS_FILTERED)
         out = detect_frames(
             self.model, self.variables, jnp.asarray(pts[None]),
             jnp.asarray(valid[None]), K=self.K, peak_thresh=self.peak_thresh,

@@ -29,6 +29,16 @@ def _ap_r40(recall: np.ndarray, precision: np.ndarray) -> float:
     return float(ap)
 
 
+_PAD = 64  # fixed IoU problem size: one XLA compilation serves every frame
+
+
+def _pad_rows(a, n):
+    out = np.zeros((n,) + a.shape[1:], np.float32)
+    k = min(len(a), n)
+    out[:k] = a[:k]
+    return out
+
+
 def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, metric):
     """Greedy matching of one frame's detections to GT. Returns
     (tp_flags, matched_gt_count)."""
@@ -37,12 +47,17 @@ def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, metric):
         return np.zeros(0, bool), 0
     if ng == 0:
         return np.zeros(nd, bool), 0
+    # pad to a fixed shape: per-frame ragged (nd, ng) would recompile the
+    # jitted pairwise kernels for every distinct size pair
+    pad = max(_PAD, nd, ng)
+    dpad = _pad_rows(np.asarray(det_boxes, np.float32), pad)
+    gpad = _pad_rows(np.asarray(gt_boxes, np.float32), pad)
     if metric == "3d":
-        iou = np.asarray(pairwise_iou_3d(det_boxes, gt_boxes))
+        iou = np.asarray(pairwise_iou_3d(dpad, gpad))[:nd, :ng]
     else:
-        bev_d = det_boxes[:, [0, 1, 4, 5, 6]]
-        bev_g = gt_boxes[:, [0, 1, 4, 5, 6]]
-        iou = np.asarray(pairwise_iou_bev_rotated(bev_d, bev_g))
+        iou = np.asarray(
+            pairwise_iou_bev_rotated(dpad[:, [0, 1, 4, 5, 6]], gpad[:, [0, 1, 4, 5, 6]])
+        )[:nd, :ng]
     order = np.argsort(-det_scores)
     gt_used = np.zeros(ng, bool)
     tp = np.zeros(nd, bool)

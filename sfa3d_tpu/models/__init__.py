@@ -23,6 +23,33 @@ def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.flo
     raise ValueError(f"unknown arch: {arch}")
 
 
+def load_variables(pretrained_path, arch: str = "fpn_resnet_18", model=None, rng_seed: int = 0):
+    """Unified checkpoint loading for entry points: reference torch .pth,
+    this framework's Orbax composite directory, or None -> fresh init (with
+    a warning, since silent random weights produce garbage detections)."""
+    import os
+
+    from sfa3d_tpu.pipeline import init_detector
+
+    model = model or create_model(arch)
+    if pretrained_path:
+        if pretrained_path.endswith(".pth"):
+            from sfa3d_tpu.models.port import load_torch_checkpoint
+
+            num_layers = int(arch.split("_")[-1])
+            return load_torch_checkpoint(pretrained_path, num_layers, arch)
+        if os.path.isdir(pretrained_path):
+            from sfa3d_tpu.runtime.checkpoint import load_params_only
+
+            return load_params_only(pretrained_path)
+        raise FileNotFoundError(
+            f"checkpoint not found or unrecognized: {pretrained_path} "
+            "(expected a torch .pth file or an Orbax checkpoint directory)"
+        )
+    print("WARNING: no --pretrained_path given; using RANDOM weights")
+    return init_detector(model, jax.random.PRNGKey(rng_seed))
+
+
 def get_num_parameters(params) -> int:
     """Total trainable parameter count (model_utils.py:46-53)."""
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -159,13 +159,9 @@ def make_bev_map(points: np.ndarray, boundary: Dict[str, float] = cnf.boundary) 
     clouds (~120k points) never truncate: the front-range filter keeps well
     under the padded budget.
     """
-    points = np.asarray(points, dtype=np.float32)
-    mask = (
-        (points[:, 0] >= boundary["minX"]) & (points[:, 0] <= boundary["maxX"])
-        & (points[:, 1] >= boundary["minY"]) & (points[:, 1] <= boundary["maxY"])
-        & (points[:, 2] >= boundary["minZ"]) & (points[:, 2] <= boundary["maxZ"])
+    padded, valid = filter_and_pad_points(
+        points, max_points=cnf.MAX_POINTS_FILTERED, boundary=boundary
     )
-    padded, valid = _pad_raw(points[mask], cnf.MAX_POINTS_FILTERED)
     bound = (
         boundary["minX"], boundary["maxX"],
         boundary["minY"], boundary["maxY"],

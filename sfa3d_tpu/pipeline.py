@@ -76,9 +76,11 @@ def detect_bev(
     *,
     K: int = 50,
     peak_thresh: float = 0.2,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(B, H, W, 3) BEV batch -> (detections, boxes_real, mask). The
-    `do_detect` analog (utils/demo_utils.py:109-127) without host hops."""
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(B, H, W, 3) BEV batch -> (detections, boxes_bev, boxes_real, mask).
+    The `do_detect` analog (utils/demo_utils.py:109-127) without host hops;
+    boxes_bev are the drawing-ready BEV-pixel boxes so callers never need a
+    second post-processing pass."""
     outputs = model.apply(variables, bev, train=False)
     dets = decode(
         clamped_sigmoid(outputs["hm_cen"]),
@@ -90,7 +92,7 @@ def detect_bev(
     )
     boxes_bev, mask = post_processing(dets, peak_thresh=peak_thresh)
     boxes_real, mask = detections_to_real(boxes_bev, mask)
-    return dets, boxes_real, mask
+    return dets, boxes_bev, boxes_real, mask
 
 
 def init_detector(model, rng: jax.Array, input_size=(608, 608)) -> Any:

@@ -87,17 +87,19 @@ def create_momentum_schedule(cfg: OptimConfig, num_epochs: int, steps_per_epoch:
     return sched
 
 
-def range_finder_schedule(num_epochs: int, lr_min: float = 1e-7, lr_max: float = 1.0) -> Callable:
+def range_finder_schedule(num_epochs: int, lr_min: float = 1e-7, lr_max: float = 1.0,
+                          steps_per_epoch: int = 1) -> Callable:
     """Log-space LR sweep for learning-rate range tests (RangeFinder,
     lr_scheduler.py:227-250): epoch e gets 10^(lerp(log10 lr_min, log10
     lr_max)). Run a short training with this schedule and pick the LR where
-    the loss drops fastest."""
+    the loss drops fastest. Like the sibling schedules, the input is the
+    optimizer STEP counter and is converted to an epoch index."""
     import numpy as np
 
     lrs = np.logspace(math.log10(lr_min), math.log10(lr_max), num_epochs)
 
     def sched(step):
-        e = jnp.clip(step, 0, num_epochs - 1)
+        e = jnp.clip(step // max(1, steps_per_epoch), 0, num_epochs - 1)
         return jnp.asarray(lrs)[e]
 
     return sched

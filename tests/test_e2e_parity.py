@@ -58,7 +58,7 @@ def test_full_pipeline_detections_match_reference(rng):
     ref_real = ev.convert_det_to_real_values(ref_pp[0])
 
     # --- our path (jit, NHWC) ---
-    _, boxes_real, mask = detect_bev(
+    _, _, boxes_real, mask = detect_bev(
         model, variables, jnp.asarray(bev[None]), K=K, peak_thresh=thresh
     )
     ours_real = np.asarray(boxes_real)[0][np.asarray(mask)[0]]

@@ -179,7 +179,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 def test_range_finder_schedule():
     from sfa3d_tpu.runtime.schedules import range_finder_schedule
 
-    sched = range_finder_schedule(num_epochs=10, lr_min=1e-6, lr_max=1e-1)
+    sched = range_finder_schedule(num_epochs=10, lr_min=1e-6, lr_max=1e-1, steps_per_epoch=1)
     assert float(sched(0)) == pytest.approx(1e-6, rel=1e-5)
     assert float(sched(9)) == pytest.approx(1e-1, rel=1e-5)
     vals = [float(sched(i)) for i in range(10)]
