@@ -33,15 +33,13 @@ def parse_args(argv=None):
 
 def main(argv=None):
     import cv2
-    import jax
     import jax.numpy as jnp
 
-    from sfa3d_tpu.config import argoverse as acnf
     from sfa3d_tpu.data.argoverse import ArgoverseDataset
     from sfa3d_tpu.geometry.transforms import center_to_corner_box3d
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.ops.bev import argoverse_points_to_bev
-    from sfa3d_tpu.pipeline import detect_bev, init_detector
+    from sfa3d_tpu.pipeline import detect_bev
 
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)

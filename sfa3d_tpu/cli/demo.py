@@ -33,14 +33,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     import cv2
-    import jax
     import jax.numpy as jnp
 
     from sfa3d_tpu.config import kitti as cnf
     from sfa3d_tpu.data.kitti import DemoKittiDataset
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.ops.bev import points_to_bev
-    from sfa3d_tpu.pipeline import detect_bev, init_detector
     from sfa3d_tpu.viz.draw import bev_map_to_image, draw_predictions_bev, merge_rgb_to_bev
 
     args = parse_args(argv)

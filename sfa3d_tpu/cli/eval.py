@@ -26,12 +26,10 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    import jax
-
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.eval import evaluate_kitti_ap
     from sfa3d_tpu.models import create_model, load_variables
-    from sfa3d_tpu.pipeline import detect_frames, init_detector
+    from sfa3d_tpu.pipeline import detect_frames
 
     args = parse_args(argv)
     model = create_model(args.arch)

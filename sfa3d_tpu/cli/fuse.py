@@ -45,14 +45,13 @@ SOURCE_NAMES = {0: "YOLOv8", 1: "SFA3D", 2: "Fused"}
 
 def main(argv=None):
     import cv2
-    import jax
 
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector, port_ultralytics_state_dict
-    from sfa3d_tpu.pipeline import detect_frames, init_detector
+    from sfa3d_tpu.pipeline import detect_frames
 
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -38,14 +38,13 @@ def parse_args(argv=None):
 
 def main(argv=None):
     import cv2
-    import jax
 
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.models.yolov8 import YOLOv8Detector
-    from sfa3d_tpu.pipeline import detect_frames, init_detector
+    from sfa3d_tpu.pipeline import detect_frames
     from sfa3d_tpu.slam import get_calibration_from_slam
 
     args = parse_args(argv)

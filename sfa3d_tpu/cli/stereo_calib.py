@@ -12,8 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="sfa3d_tpu targetless stereo calibration")

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 import time
 
 import numpy as np
@@ -37,7 +36,6 @@ def parse_args(argv=None):
 
 def main(argv=None):
     import cv2
-    import jax
     import jax.numpy as jnp
 
     from sfa3d_tpu.config import kitti as cnf
@@ -45,7 +43,7 @@ def main(argv=None):
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
     from sfa3d_tpu.models import create_model, load_variables
-    from sfa3d_tpu.pipeline import detect_frames, init_detector
+    from sfa3d_tpu.pipeline import detect_frames
     from sfa3d_tpu.viz.draw import (
         bev_map_to_image,
         draw_predictions_bev,

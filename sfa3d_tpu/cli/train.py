@@ -18,7 +18,7 @@ import numpy as np
 def main(argv=None):
     import jax
 
-    from sfa3d_tpu.config.train import TrainConfig, parse_train_configs
+    from sfa3d_tpu.config.train import parse_train_configs
     from sfa3d_tpu.data.loader import create_train_loader, create_val_loader
     from sfa3d_tpu.models import create_model, get_num_parameters
     from sfa3d_tpu.parallel import (
@@ -30,14 +30,10 @@ def main(argv=None):
         shard_batch,
     )
     from sfa3d_tpu.pipeline import init_detector
-    from sfa3d_tpu.runtime.checkpoint import (
-        load_checkpoint,
-        load_pretrained_params,
-        save_checkpoint,
-    )
+    from sfa3d_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
     from sfa3d_tpu.runtime.logger import AverageMeter, Logger, ProgressMeter, create_tb_writer
     from sfa3d_tpu.runtime.schedules import create_lr_schedule, create_optimizer
-    from sfa3d_tpu.models.port import load_torch_checkpoint
+    from sfa3d_tpu.models import load_variables
 
     configs = parse_train_configs(argv)
     os.makedirs(configs.checkpoints_dir, exist_ok=True)
@@ -57,10 +53,10 @@ def main(argv=None):
     logger.info(f"model {configs.model.arch}: {get_num_parameters(variables['params']):,} params")
 
     if configs.runtime.pretrained_path:
-        path = configs.runtime.pretrained_path
-        if path.endswith(".pth"):
-            variables = load_torch_checkpoint(path, configs.model.num_layers, configs.model.arch)
-            logger.info(f"loaded torch pretrained weights from {path}")
+        variables = load_variables(
+            configs.runtime.pretrained_path, configs.model.arch, model
+        )
+        logger.info(f"loaded pretrained weights from {configs.runtime.pretrained_path}")
 
     train_loader = create_train_loader(configs)
     steps_per_epoch = max(1, len(train_loader))
