@@ -160,3 +160,25 @@ def test_export_roundtrip_to_torch(rng, tmp_path):
             np.transpose(np.asarray(ours[head]), (0, 3, 1, 2)),
             ref[head].numpy(), atol=1e-3, err_msg=head,
         )
+
+
+@pytest.mark.parametrize("arch", ["fpn_resnet_34", "resnet_34"])
+def test_deeper_arch_variants(arch):
+    """resnet_spec covers 18/34/50/101/152 (fpn_resnet.py:289-293); 34 shares
+    the BasicBlock channel plan with 18 and must produce the same head grid."""
+    model = create_model(arch)
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    for head, ch in HEADS.items():
+        assert out[head].shape == (1, 16, 16, ch), (arch, head)
+
+
+def test_bottleneck_kfpn_works():
+    """fpn_resnet_50: the torch reference CRASHES here (its lateral convs
+    hardcode BasicBlock input widths, fpn_resnet.py:129-131, while
+    Bottleneck stages emit 4x channels); flax infers input channels, so the
+    Bottleneck KFPN works in this framework — a strict superset."""
+    model = create_model("fpn_resnet_50")
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["hm_cen"].shape == (1, 16, 16, 3)
