@@ -9,8 +9,6 @@ reference's per-detection Python loop becomes one batched einsum chain.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,7 +16,7 @@ import numpy as np
 from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
 
 
-@functools.partial(jax.jit, static_argnames=("img_h", "img_w"))
+@jax.jit
 def project_boxes_to_image(
     boxes_real: jax.Array,
     scores: jax.Array,
@@ -27,12 +25,15 @@ def project_boxes_to_image(
     R0: jax.Array,
     P2: jax.Array,
     *,
-    img_h: int = 375,
-    img_w: int = 1242,
+    img_h=375,
+    img_w=1242,
     conf_gate: float = 0.3,
 ):
     """(K, 8) metric rows [cls, x, y, z, h, w, l, yaw] + (K,) scores/mask ->
-    ((K, 4) [x, y, w, h] int-truncated 2D boxes, (K,) valid mask)."""
+    ((K, 4) [x, y, w, h] int-truncated 2D boxes, (K,) valid mask).
+
+    `img_h`/`img_w` may be Python ints or traced scalars (the batched fusion
+    pipeline, fusion/batch.py, threads per-frame image sizes through vmap)."""
     cam = lidar_to_camera_box(boxes_real[:, 1:8], V2C, R0, P2)  # (K,7)
     x, y, z = cam[:, 0], cam[:, 1], cam[:, 2]
     h, w, l = cam[:, 3], cam[:, 4], cam[:, 5]
@@ -52,10 +53,12 @@ def project_boxes_to_image(
     uvw = jnp.einsum("ij,kcj->kci", jnp.asarray(P2, jnp.float32), corners)  # (K,8,3)
     uv = uvw[..., :2] / uvw[..., 2:3]
 
+    w_lim = jnp.asarray(img_w, jnp.float32)
+    h_lim = jnp.asarray(img_h, jnp.float32)
     min_x = jnp.clip(jnp.min(uv[..., 0], axis=-1), 0.0, None)
-    max_x = jnp.clip(jnp.max(uv[..., 0], axis=-1), None, float(img_w))
+    max_x = jnp.clip(jnp.max(uv[..., 0], axis=-1), None, w_lim)
     min_y = jnp.clip(jnp.min(uv[..., 1], axis=-1), 0.0, None)
-    max_y = jnp.clip(jnp.max(uv[..., 1], axis=-1), None, float(img_h))
+    max_y = jnp.clip(jnp.max(uv[..., 1], axis=-1), None, h_lim)
 
     valid = mask & (scores >= conf_gate) & (max_x > min_x) & (max_y > min_y)
     boxes2d = jnp.stack(
