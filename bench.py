@@ -1,7 +1,13 @@
-"""Benchmark: end-to-end KITTI frames/sec/chip (BEV raster + KFPN + decode).
+"""Benchmark: end-to-end KITTI frames/sec/chip for the FULL fusion pipeline
+(BASELINE.json metric + config #3): BEV raster -> KFPN -> decode -> metric
+boxes, YOLOv8n 640^2 -> DFL decode -> per-class NMS, 3D->2D projection,
+Bayesian fusion (iou 0.7) + Gaussian soft-NMS (sigma 0.5) — one jit program
+per batch (fusion/batch.py).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference SFA3D reports 40.2 FPS (README.md:223, BASELINE.md).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline: the reference reports 32.1 FPS for this exact configuration
+(SFA3D + YOLOv8n + Bayesian fusion + Gaussian NMS, README.md:226); the
+SFA3D-only 40.2 FPS row (README.md:223) is reported as a secondary number.
 
 Timing method: the tunneled TPU platform in this environment returns from
 `jax.block_until_ready` before execution finishes, and every host<->device
@@ -9,15 +15,47 @@ fetch pays the tunnel round trip. Iterations are therefore chained through a
 scalar data dependency INSIDE jit (forcing serial device execution) and the
 chain scalar is fetched once after the loop — wall-clock then reflects real
 device time without per-iteration tunnel RTT.
+
+Flags: --profile DIR wraps the timed loops in jax.profiler.trace(DIR)
+(SURVEY.md section 5 profiling hook).
 """
 
+import argparse
+import contextlib
 import json
 import time
 
 import numpy as np
 
+# KITTI camera frames are ~(375, 1242); YOLOv8 letterboxes them to 640^2.
+IMG_H, IMG_W, LB = 375, 1242, 640
+FUSED_BASELINE_FPS = 32.1  # reference README.md:226 (Bayesian + Gaussian NMS)
+SFA_BASELINE_FPS = 40.2  # reference README.md:223 (SFA3D only)
 
-def build_pipeline(model, K=50):
+
+def build_fused(kfpn, yolo, K=50, max_yolo=50):
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.fusion.batch import build_fused_pipeline
+
+    run = build_fused_pipeline(
+        kfpn, yolo, K=K, max_yolo=max_yolo, mode="bayesian",
+        use_gaussian_nms=True, fusion_iou_threshold=0.7, gaussian_sigma=0.5,
+    )
+
+    @jax.jit
+    def chained(kvars, yvars, pts, valid, images, V2C, R0, P2, img_hw,
+                lb_scale, lb_pad, feedback):
+        out = run(kvars, yvars, pts + feedback, valid, images, V2C, R0, P2,
+                  img_hw, lb_scale, lb_pad)
+        fb = out["scores"][0, 0] * 0.0  # scalar, data-dependent, == 0
+        return out, fb
+
+    return chained
+
+
+def build_sfa_only(model, K=50):
     import jax
     import jax.numpy as jnp
 
@@ -26,7 +64,7 @@ def build_pipeline(model, K=50):
     from sfa3d_tpu.ops.decode import decode, detections_to_real, post_processing
 
     def frame_pipeline(variables, points, valid, feedback):
-        pts = points + feedback  # chains iterations; feedback == 0
+        pts = points + feedback
         bev = jax.vmap(lambda p, v: points_to_bev(p, v))(pts, valid)
         outputs = model.apply(variables, bev, train=False)
         dets = decode(
@@ -39,69 +77,121 @@ def build_pipeline(model, K=50):
         )
         boxes_bev, mask = post_processing(dets, peak_thresh=0.2)
         boxes_real, mask = detections_to_real(boxes_bev, mask)
-        fb = boxes_real[0, 0, 1] * 0.0  # scalar, data-dependent, == 0
+        fb = boxes_real[0, 0, 1] * 0.0
         return boxes_real, mask, fb
 
     return jax.jit(frame_pipeline)
 
 
-def run_batch(fn, variables, pts, valid, iters):
+def make_points(batch):
     import jax.numpy as jnp
 
-    boxes, mask, fb = fn(variables, pts, valid, jnp.float32(0))
+    from sfa3d_tpu.config import kitti as cnf
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+    from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+    n = cnf.MAX_POINTS_FILTERED
+    pts = np.zeros((batch, n, 4), np.float32)
+    valid = np.zeros((batch, n), bool)
+    for b in range(batch):
+        scan, _ = synthetic_scene(seed=b)
+        p, v = filter_and_pad_points(scan, max_points=n)
+        pts[b], valid[b] = p, v
+    return jnp.asarray(pts), jnp.asarray(valid)
+
+
+def make_camera(batch):
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.geometry.calibration import KittiCalibration
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (batch, LB, LB, 3)).astype(np.float32))
+    calib = KittiCalibration(None)
+    tile = lambda m: jnp.asarray(
+        np.tile(np.asarray(m, np.float32)[None], (batch, 1, 1))
+    )
+    r = min(LB / IMG_H, LB / IMG_W)
+    pad_w, pad_h = (LB - round(IMG_W * r)) / 2, (LB - round(IMG_H * r)) / 2
+    img_hw = jnp.asarray(np.tile(np.float32([IMG_H, IMG_W]), (batch, 1)))
+    lb_scale = jnp.full((batch,), r, jnp.float32)
+    lb_pad = jnp.asarray(np.tile(np.float32([pad_w, pad_h]), (batch, 1)))
+    return images, tile(calib.V2C), tile(calib.R0), tile(calib.P2), img_hw, lb_scale, lb_pad
+
+
+def time_chained(step, iters):
+    """step(fb) -> fb. Warm once, then time the chained loop."""
+    import jax.numpy as jnp
+
+    fb = step(jnp.float32(0))
     _ = float(fb)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        boxes, mask, fb = fn(variables, pts, valid, fb)
+        fb = step(fb)
     _ = float(fb)  # one tunnel round trip for the whole chain
     return time.perf_counter() - t0
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the timed loops")
+    ap.add_argument("--batches", type=int, nargs="*", default=[32, 64, 128])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
-    from sfa3d_tpu.config import kitti as cnf
-    from sfa3d_tpu.data.synthetic import synthetic_scene
     from sfa3d_tpu.models import create_model
-    from sfa3d_tpu.ops.bev import filter_and_pad_points
+    from sfa3d_tpu.models.yolov8 import YOLOv8
     from sfa3d_tpu.pipeline import init_detector
 
-    model = create_model("fpn_resnet_18", dtype=jnp.bfloat16)
-    variables = init_detector(model, jax.random.PRNGKey(0))
-    fn = build_pipeline(model)
+    kfpn = create_model("fpn_resnet_18", dtype=jnp.bfloat16)
+    kvars = init_detector(kfpn, jax.random.PRNGKey(0))
+    yolo = YOLOv8(scale="n", dtype=jnp.bfloat16)
+    yvars = yolo.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, LB, LB, 3), jnp.float32), train=False
+    )
+    fused = build_fused(kfpn, yolo)
+    sfa = build_sfa_only(kfpn)
 
-    def make_batch(batch):
-        n = cnf.MAX_POINTS_FILTERED
-        pts = np.zeros((batch, n, 4), np.float32)
-        valid = np.zeros((batch, n), bool)
-        for b in range(batch):
-            scan, _ = synthetic_scene(seed=b)
-            p, v = filter_and_pad_points(scan, max_points=n)
-            pts[b], valid[b] = p, v
-        return jnp.asarray(pts), jnp.asarray(valid)
-
+    prof = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
     best = None
-    for batch in (16, 64, 128):
-        pts, valid = make_batch(batch)
-        iters = max(8, 256 // batch)
-        dt = run_batch(fn, variables, pts, valid, iters)
-        fps = batch * iters / dt
-        # mean over the chained loop (no per-iteration samples exist by design)
-        per_frame_ms = dt / iters / batch * 1000.0
-        if best is None or fps > best[0]:
-            best = (fps, per_frame_ms, batch)
+    sfa_best = None
+    with prof:
+        for batch in args.batches:
+            pts, valid = make_points(batch)
+            cam = make_camera(batch)
+            iters = min(16, max(4, 384 // batch))
+            dt = time_chained(
+                lambda fb: fused(kvars, yvars, pts, valid, *cam, fb)[1], iters
+            )
+            fps = batch * iters / dt
+            per_frame_ms = dt / iters / batch * 1000.0
+            if best is None or fps > best[0]:
+                best = (fps, per_frame_ms, batch)
 
-    fps, p50_ms, batch = best
+            dt = time_chained(
+                lambda fb: sfa(kvars, pts, valid, fb)[2], iters
+            )
+            sfa_fps = batch * iters / dt
+            if sfa_best is None or sfa_fps > sfa_best:
+                sfa_best = sfa_fps
+
+    fps, mean_ms, batch = best
     print(
         json.dumps(
             {
-                "metric": "end-to-end KITTI frames/sec/chip (BEV+KFPN+decode)",
+                "metric": "end-to-end KITTI frames/sec/chip (BEV+KFPN+YOLOv8n+Bayesian fusion+Gaussian NMS)",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / 40.2, 3),
-                "mean_latency_ms_per_frame": round(p50_ms, 3),
+                "vs_baseline": round(fps / FUSED_BASELINE_FPS, 3),
+                "mean_latency_ms_per_frame": round(mean_ms, 3),
                 "batch": batch,
+                "sfa3d_only_fps": round(sfa_best, 2),
+                "sfa3d_only_vs_baseline": round(sfa_best / SFA_BASELINE_FPS, 3),
                 "device": str(jax.devices()[0]),
             }
         )

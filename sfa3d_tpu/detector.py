@@ -31,8 +31,12 @@ class Detector:
         checkpoint: Optional[str] = None,
         K: int = 50,
         peak_thresh: float = 0.2,
-        dtype: str = "bfloat16",
+        dtype: str = "float32",
     ):
+        # float32 is the parity-claiming default (detections match the torch
+        # reference within 1e-3, tests/test_e2e_parity.py). dtype="bfloat16"
+        # is the TPU fast mode: ~2x MXU throughput, but bf16's ~3 significant
+        # digits move box coordinates by decimeters — outside 1e-3.
         import jax
         import jax.numpy as jnp
 

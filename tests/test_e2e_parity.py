@@ -116,3 +116,56 @@ def test_full_pipeline_from_raw_points(rng):
     fwd = model.apply(variables, out["bev"], train=False)
     ours_hm_out = np.transpose(np.asarray(fwd["hm_cen"]), (0, 3, 1, 2))
     np.testing.assert_allclose(ours_hm_out, ref_hm, atol=1e-3)
+
+
+def test_bf16_fast_mode_bounds(rng):
+    """The shipped dtypes, characterized: float32 is the parity-claiming
+    default (the tests above), and bfloat16 is an explicit fast mode whose
+    drift is bounded here. bf16 carries ~3 significant digits, so metric box
+    coordinates move by decimeters — NOT within the 1e-3 acceptance
+    tolerance; that is why Detector/entry() default to float32."""
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+    from sfa3d_tpu.models import clamped_sigmoid
+    from sfa3d_tpu.pipeline import init_detector
+
+    scan, _ = synthetic_scene(seed=5)
+    bev = jnp.asarray(make_bev_map(scan)[None])
+
+    m32 = create_model("fpn_resnet_18")
+    variables = init_detector(m32, jax.random.PRNGKey(0))
+    variables = jax.tree_util.tree_map(lambda t: np.array(t), variables)
+    for i in range(3):
+        variables["params"][f"fpn{i}_hm_cen"]["conv2"]["bias"] += 2.0
+    m16 = create_model("fpn_resnet_18", dtype=jnp.bfloat16)
+
+    out32 = m32.apply(variables, bev, train=False)
+    out16 = m16.apply(variables, bev, train=False)
+    # head outputs are f32-castable and finite; post-sigmoid heatmaps agree
+    # to ~bf16 resolution (documented fast-mode bound)
+    hm32 = np.asarray(clamped_sigmoid(out32["hm_cen"]))
+    hm16 = np.asarray(clamped_sigmoid(out16["hm_cen"].astype(jnp.float32)))
+    assert np.isfinite(hm16).all()
+    np.testing.assert_allclose(hm16, hm32, atol=0.05)
+
+    # end-to-end: each top-5 f32 detection has a same-class bf16 detection
+    # within 1 BEV pixel (rank order of near-tied peaks may differ)
+    _, bb32, _, mk32 = detect_bev(m32, variables, bev, K=50, peak_thresh=0.2)
+    _, bb16, _, mk16 = detect_bev(m16, variables, bev, K=50, peak_thresh=0.2)
+    b32 = np.asarray(bb32)[0][np.asarray(mk32)[0]]
+    b16 = np.asarray(bb16)[0][np.asarray(mk16)[0]]
+    assert len(b32) and len(b16)
+    top = b32[np.argsort(-b32[:, 1])][:5]
+    for row in top:
+        same_cls = b16[b16[:, 0] == row[0]]
+        assert len(same_cls), f"class {row[0]} missing in bf16 detections"
+        d = np.hypot(same_cls[:, 2] - row[2], same_cls[:, 3] - row[3])
+        assert d.min() <= 1.0, f"nearest bf16 match {d.min():.2f}px away"
+
+
+def test_detector_default_dtype_is_parity_mode():
+    """The facade must ship the configuration the acceptance test covers."""
+    import inspect
+
+    from sfa3d_tpu.detector import Detector
+
+    assert inspect.signature(Detector.__init__).parameters["dtype"].default == "float32"
