@@ -52,6 +52,16 @@ def main(argv=None):
     variables = init_detector(model, jax.random.PRNGKey(configs.runtime.seed))
     logger.info(f"model {configs.model.arch}: {get_num_parameters(variables['params']):,} params")
 
+    if configs.model.imagenet_pretrained:
+        from sfa3d_tpu.models.port import load_imagenet_backbone
+
+        variables = load_imagenet_backbone(
+            variables, configs.model.num_layers, configs.model.imagenet_weights
+        )
+        logger.info(
+            f"initialized backbone from ImageNet resnet{configs.model.num_layers} weights"
+        )
+
     if configs.runtime.pretrained_path:
         variables = load_variables(
             configs.runtime.pretrained_path, configs.model.arch, model

@@ -39,7 +39,12 @@ class ModelConfig:
     num_layers: int = 18
     head_conv: int = 64
     heads: HeadSpec = dataclasses.field(default_factory=HeadSpec)
+    # Load torchvision ImageNet resnet weights into the backbone before
+    # training (reference fpn_resnet.py:265-286 init_weights). With no
+    # network egress, imagenet_weights must point at a local .pth (or the
+    # torch hub cache must already hold one).
     imagenet_pretrained: bool = False
+    imagenet_weights: Optional[str] = None
     # bfloat16 activations on the TPU compute path; params stay float32.
     compute_dtype: str = "bfloat16"
 
@@ -71,7 +76,6 @@ class OptimConfig:
     weight_decay: float = 0.0
     lr_type: str = "cosin"  # cosin | multi_step | one_cycle
     steps: Tuple[int, ...] = (150, 180)
-    burn_in: int = 50  # reference lr_scheduler burn-in steps for one_cycle
     # Effective global batch kept at 64 via gradient accumulation
     # ("subdivisions", reference train.py:84-86).
     effective_batch: int = 64
@@ -130,6 +134,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--root-dir", dest="root_dir", type=str, default="./", metavar="PATH")
     p.add_argument("--arch", type=str, default="fpn_resnet_18", metavar="ARCH")
     p.add_argument("--pretrained_path", type=str, default=None, metavar="PATH")
+    p.add_argument("--imagenet_pretrained", action="store_true",
+                   help="init the backbone from torchvision ImageNet weights")
+    p.add_argument("--imagenet_weights", type=str, default=None, metavar="PATH",
+                   help="local torchvision resnet .pth (no-egress environment)")
     p.add_argument("--hflip_prob", type=float, default=0.5)
     p.add_argument("--no-val", dest="no_val", action="store_true")
     p.add_argument("--num_samples", type=int, default=None)
@@ -171,6 +179,8 @@ def parse_train_configs(argv=None) -> TrainConfig:
             arch=args.arch,
             num_layers=num_layers,
             compute_dtype=args.compute_dtype,
+            imagenet_pretrained=args.imagenet_pretrained,
+            imagenet_weights=args.imagenet_weights,
         ),
         data=DataConfig(
             dataset=args.dataset,

@@ -16,6 +16,7 @@ Layout conversions:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Mapping
 
 import numpy as np
@@ -73,6 +74,90 @@ def _port_backbone(sd, params, stats, num_layers: int, prefix=("backbone",)):
                     sd, params, stats,
                     f"{t}.downsample.0", f"{t}.downsample.1", f + ("downsample",),
                 )
+
+
+def _deep_merge(dst: dict, src: dict):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def port_torchvision_backbone(state_dict: Mapping[str, Any], variables,
+                              num_layers: int = 18):
+    """Merge a torchvision resnet{18,34,50,...} ImageNet state_dict into the
+    BACKBONE subtree of existing model variables, leaving the FPN/deconv and
+    head parameters at their init — the analog of the reference's
+    `model_zoo.load_url(..., strict=False)` pretrained init
+    (/root/reference/models/fpn_resnet.py:265-286). torchvision resnet keys
+    (conv1/bn1/layerX.Y.convZ/downsample) are the exact layout the reference
+    backbone uses, so `_port_backbone` consumes them directly; fc.* is
+    ignored like strict=False ignores it."""
+    sd = _to_numpy(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    _port_backbone(sd, params, stats, num_layers)
+
+    new_vars = {
+        "params": _tree_to_plain(variables["params"]),
+        "batch_stats": _tree_to_plain(variables.get("batch_stats", {})),
+    }
+    # shape guard: a resnet50 checkpoint fed to an 18-layer model should fail
+    # loudly, not silently broadcast
+    old_bb = new_vars["params"].get("backbone", {})
+    def check(new, old, path=("backbone",)):
+        for k, v in new.items():
+            if isinstance(v, dict):
+                check(v, old.get(k, {}), path + (k,))
+            else:
+                have = old.get(k)
+                if have is None or np.shape(have) != np.shape(v):
+                    raise ValueError(
+                        f"ImageNet weight {'/'.join(path + (k,))} has shape "
+                        f"{np.shape(v)}, model expects "
+                        f"{None if have is None else np.shape(have)} — wrong "
+                        f"num_layers for this checkpoint?"
+                    )
+    check(params["backbone"], old_bb)
+    _deep_merge(new_vars["params"], params)
+    _deep_merge(new_vars["batch_stats"], stats)
+    return new_vars
+
+
+def _tree_to_plain(tree) -> dict:
+    """Nested mapping -> plain nested dict of leaves (unfreezes FrozenDict)."""
+    if isinstance(tree, Mapping):
+        return {k: _tree_to_plain(v) for k, v in tree.items()}
+    return tree
+
+
+def load_imagenet_backbone(variables, num_layers: int = 18,
+                           weights_path: str | None = None):
+    """Honor `--imagenet_pretrained`: load torchvision ImageNet resnet
+    weights into the backbone. With no explicit path, searches the torch hub
+    checkpoint cache (this environment has no network egress, so the .pth
+    must already be present locally)."""
+    import torch
+
+    if weights_path is None:
+        hub_dir = os.path.join(
+            os.environ.get("TORCH_HOME", os.path.expanduser("~/.cache/torch")),
+            "hub", "checkpoints",
+        )
+        import glob
+
+        candidates = sorted(glob.glob(os.path.join(hub_dir, f"resnet{num_layers}-*.pth")))
+        if not candidates:
+            raise FileNotFoundError(
+                f"no ImageNet resnet{num_layers} checkpoint found in {hub_dir} "
+                "and this environment has no network egress; pass "
+                "--imagenet_weights /path/to/resnet{N}-*.pth (torchvision "
+                "format, e.g. download.pytorch.org/models/resnet18-f37072fd.pth)"
+            )
+        weights_path = candidates[-1]
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    return port_torchvision_backbone(sd, variables, num_layers)
 
 
 def port_kfpn_state_dict(state_dict: Mapping[str, Any], num_layers: int = 18):

@@ -8,6 +8,11 @@ capability parity; the TPU-native 2D detector is models/yolov8.py. The
 reference repo itself ships only the .cfg files (the .weights blob is
 missing there too, .MISSING_LARGE_BLOBS:1), so construction is gated on the
 weights file existing.
+
+The darknet network-definition assets the reference ships
+(models/yolov4.cfg, models/yolov4-tiny.cfg, models/coco.names) are packaged
+under models/assets/ — pure data files that must match the reference
+byte-for-byte for cv2.dnn to build the same network.
 """
 
 from __future__ import annotations
@@ -20,12 +25,17 @@ import numpy as np
 # COCO class list parity with models/coco.names
 from sfa3d_tpu.models.yolov8 import COCO_NAMES
 
+ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
+YOLOV4_CFG = os.path.join(ASSETS_DIR, "yolov4.cfg")
+YOLOV4_TINY_CFG = os.path.join(ASSETS_DIR, "yolov4-tiny.cfg")
+COCO_NAMES_FILE = os.path.join(ASSETS_DIR, "coco.names")
+
 
 class YOLOv4Detector:
     def __init__(
         self,
-        cfg_path: str,
-        weights_path: str,
+        cfg_path: str = YOLOV4_CFG,
+        weights_path: str = "yolov4.weights",
         input_size: int = 416,
         conf_threshold: float = 0.5,
         nms_threshold: float = 0.4,
