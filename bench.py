@@ -132,12 +132,102 @@ def time_chained(step, iters):
     return time.perf_counter() - t0
 
 
+def bench_train(args):
+    """Training steps/sec on one chip, reference recipe shapes: 608^2 BEV,
+    per-step batch 16, gradient accumulation to effective batch 64
+    (Technical_details.md:39-44, train.py:84-86). Synthetic fixed batch —
+    measures the device step, not the input pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.config.train import OptimConfig
+    from sfa3d_tpu.models import create_model
+    from sfa3d_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_train_step,
+        replicate,
+        shard_batch,
+    )
+    from sfa3d_tpu.pipeline import init_detector
+    from sfa3d_tpu.runtime.schedules import create_optimizer
+
+    s, b, hw, hm, k = args.subdivisions, args.train_batch, 608, 152, 50
+    mesh = make_mesh(None)
+    model = create_model("fpn_resnet_18", dtype=jnp.bfloat16)
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(hw, hw))
+    tx = create_optimizer(OptimConfig(), num_epochs=300, steps_per_epoch=100)
+    state = replicate(mesh, create_train_state(model, variables, tx))
+    step = make_train_step(model, tx, mesh)
+
+    rng = np.random.default_rng(0)
+    obj_mask = np.zeros((s, b, k), np.float32)
+    obj_mask[..., :10] = 1
+    hm_gt = np.zeros((s, b, hm, hm, 3), np.float32)
+    hm_gt[:, :, 60, 60, 0] = 1.0
+    batch = {
+        "bev": rng.uniform(0, 1, (s, b, hw, hw, 3)).astype(np.float32),
+        "targets": {
+            "hm_cen": hm_gt,
+            "cen_offset": rng.uniform(0, 1, (s, b, k, 2)).astype(np.float32) * obj_mask[..., None],
+            "direction": rng.uniform(-1, 1, (s, b, k, 2)).astype(np.float32) * obj_mask[..., None],
+            "z_coor": rng.uniform(0, 4, (s, b, k, 1)).astype(np.float32) * obj_mask[..., None],
+            "dim": rng.uniform(0.5, 4, (s, b, k, 3)).astype(np.float32) * obj_mask[..., None],
+            "indices_center": (rng.integers(0, hm * hm, (s, b, k)) * obj_mask).astype(np.int64),
+            "obj_mask": obj_mask,
+        },
+    }
+    batch = shard_batch(mesh, batch, axis=1)
+
+    state, stats = step(state, batch)
+    _ = float(stats["total_loss"])  # compile + warm
+    iters = args.train_iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        # steps chain through the donated state: serial device execution
+        state, stats = step(state, batch)
+    _ = float(stats["total_loss"])  # one fetch for the whole chain
+    dt = time.perf_counter() - t0
+
+    import jax as _jax
+
+    print(
+        json.dumps(
+            {
+                "metric": "KITTI training steps/sec/chip (608^2, batch 16 x 4 subdivisions, bf16)",
+                "value": round(iters / dt, 3),
+                "unit": "optimizer steps/sec/chip",
+                "frames_per_sec": round(s * b * iters / dt, 2),
+                "ms_per_step": round(dt / iters * 1000.0, 1),
+                "device": str(_jax.devices()[0]),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed loops")
     ap.add_argument("--batches", type=int, nargs="*", default=[32, 64, 128])
+    ap.add_argument("--train", action="store_true",
+                    help="measure the training step instead of inference")
+    ap.add_argument("--train_batch", type=int, default=16)
+    ap.add_argument("--subdivisions", type=int, default=4)
+    ap.add_argument("--train_iters", type=int, default=10)
     args = ap.parse_args()
+
+    if args.train:
+        import contextlib as _ctx
+
+        import jax as _jax
+
+        prof = (
+            _jax.profiler.trace(args.profile) if args.profile else _ctx.nullcontext()
+        )
+        with prof:
+            bench_train(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -27,7 +27,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     from sfa3d_tpu.data.kitti import KittiDataset
-    from sfa3d_tpu.eval import evaluate_kitti_ap
+    from sfa3d_tpu.eval import evaluate_kitti_ap, evaluate_kitti_ap_by_difficulty
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.pipeline import detect_frames
 
@@ -58,9 +58,10 @@ def main(argv=None):
         )
         lab = sample.labels[: int(sample.n_labels)]
         # dataset labels store raw velodyne yaw; detector emits the same
-        ground_truths.append(
-            {"boxes": lab[:, 1:8], "classes": lab[:, 0].astype(int)}
-        )
+        gt = {"boxes": lab[:, 1:8], "classes": lab[:, 0].astype(int)}
+        if sample.levels is not None:
+            gt["difficulty"] = sample.levels[: int(sample.n_labels)]
+        ground_truths.append(gt)
         if (idx + 1) % 50 == 0:
             print(f"{idx + 1}/{len(dataset)} frames")
 
@@ -71,6 +72,23 @@ def main(argv=None):
         if key in results:
             print(f"AP_{args.metric} {name}: {results[key] * 100:.2f}")
     print(f"mAP_{args.metric}: {results['mAP'] * 100:.2f}")
+
+    # Easy/Moderate/Hard table — the reference's published results shape
+    # (/root/reference/README.md:223-226)
+    table = evaluate_kitti_ap_by_difficulty(
+        detections, ground_truths, metric=args.metric
+    )
+    header = f"{'class':<12}" + "".join(f"{b:>10}" for b in table)
+    print(header)
+    for cls, name in names.items():
+        row = [table[b].get(f"AP_{cls}") for b in table]
+        if any(v is not None for v in row):
+            cells = "".join(
+                f"{(v * 100 if v is not None else float('nan')):>10.2f}" for v in row
+            )
+            print(f"{name:<12}{cells}")
+    print(f"{'mAP':<12}" + "".join(f"{table[b]['mAP'] * 100:>10.2f}" for b in table))
+    results["by_difficulty"] = table
     return results
 
 

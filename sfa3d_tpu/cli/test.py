@@ -101,6 +101,31 @@ def main(argv=None):
             )
             save_all(viz, os.path.join(args.output_dir, f"kfpn_viz_{sample.sample_id:06d}"))
 
+        if args.save_test_output:
+            # staged per-class heatmap dumps (reference test.py:126-166):
+            # raw BEV, pre-sigmoid and post-sigmoid center heatmaps per class
+            from sfa3d_tpu.models import clamped_sigmoid
+
+            viz_dir = os.path.join(args.output_dir, "visualizations")
+            os.makedirs(viz_dir, exist_ok=True)
+            cv2.imwrite(
+                os.path.join(viz_dir, f"{sample.sample_id:06d}_raw_bev.jpg"),
+                cv2.resize(bev_map_to_image(bev), (cnf.BEV_WIDTH, cnf.BEV_HEIGHT)),
+            )
+            heads = model.apply(variables, jnp.asarray(bev[None]), train=False)
+            hm_raw = np.asarray(heads["hm_cen"].astype(jnp.float32))[0]  # (H, W, C)
+            hm_sig = np.asarray(clamped_sigmoid(heads["hm_cen"]))[0]
+            for cls_id in range(hm_raw.shape[-1]):
+                for tag, hm in (("raw", hm_raw), ("sigmoid", hm_sig)):
+                    heat = (np.clip(hm[..., cls_id], 0, 1) * 255).astype(np.uint8)
+                    cv2.imwrite(
+                        os.path.join(
+                            viz_dir,
+                            f"{sample.sample_id:06d}_{tag}_heatmap_cls{cls_id}.jpg",
+                        ),
+                        cv2.applyColorMap(heat, cv2.COLORMAP_JET),
+                    )
+
         if args.save_test_output or not args.show:
             if args.output_format == "image":
                 cv2.imwrite(

@@ -26,9 +26,15 @@ def main(argv=None):
         make_eval_step,
         make_mesh,
         make_train_step,
+        maybe_init_distributed,
         replicate,
         shard_batch,
     )
+
+    # multi-host glue (reference dist.init_process_group, train.py:82-83):
+    # must run before any other jax call so every process sees the global
+    # device set in jax.devices()
+    distributed = maybe_init_distributed()
     from sfa3d_tpu.pipeline import init_detector
     from sfa3d_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
     from sfa3d_tpu.runtime.logger import AverageMeter, Logger, ProgressMeter, create_tb_writer
@@ -40,9 +46,16 @@ def main(argv=None):
     os.makedirs(configs.logs_dir, exist_ok=True)
 
     logger = Logger(configs.logs_dir, configs.runtime.saved_fn)
-    tb_writer = create_tb_writer(configs.logs_dir)
+    # observability + checkpoints are process-0 duties in multi-host runs
+    is_chief = jax.process_index() == 0
+    tb_writer = create_tb_writer(configs.logs_dir) if is_chief else None
 
     mesh = make_mesh(configs.runtime.mesh_shape)
+    if distributed:
+        logger.info(
+            f"multi-host: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
     logger.info(f"mesh: {mesh} over devices {jax.devices()[:8]}")
 
     import jax.numpy as jnp
@@ -68,7 +81,13 @@ def main(argv=None):
         )
         logger.info(f"loaded pretrained weights from {configs.runtime.pretrained_path}")
 
-    train_loader = create_train_loader(configs)
+    # each process loads a disjoint 1/process_count slice of every batch
+    # (DistributedSampler parity, kitti_dataloader.py:27-28)
+    train_loader = create_train_loader(
+        configs,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     steps_per_epoch = max(1, len(train_loader))
     logger.info(f"number of batches in training set: {steps_per_epoch}")
 
@@ -96,6 +115,20 @@ def main(argv=None):
     # resume keeps the schedule position: the optimizer keys off state.step,
     # so logging/frequency counters must too
     global_step = int(np.asarray(state.step))
+    # On this platform every host<->device fetch pays a tunnel round trip, so
+    # the loop never blocks on the step it just dispatched. Loss scalars are
+    # fetched with a lag of `max_inflight` steps — by then the value is
+    # already computed, so the fetch costs only the RTT, which overlaps the
+    # device's work on the following steps. max_inflight also bounds how many
+    # dispatched-but-unexecuted steps (each pinning its input batch in HBM)
+    # can pile up when the host produces batches faster than the chip trains.
+    import contextlib
+    from collections import deque
+
+    max_inflight = 8
+    profile = contextlib.ExitStack()  # jax.profiler trace around the loop
+    if configs.runtime.profile_dir:
+        profile.enter_context(jax.profiler.trace(configs.runtime.profile_dir))
     for epoch in range(start_epoch, configs.runtime.num_epochs + 1):
         logger.info(f">>> Epoch: [{epoch}/{configs.runtime.num_epochs}]")
         train_loader.set_epoch(epoch)
@@ -106,13 +139,15 @@ def main(argv=None):
             steps_per_epoch, [batch_time, data_time, losses],
             prefix=f"Train - Epoch: [{epoch}/{configs.runtime.num_epochs}]",
         )
+        inflight = deque()  # device-side total_loss scalars, oldest first
         start = time.time()
         for batch_idx, batch in enumerate(train_loader):
             data_time.update(time.time() - start)
             state, stats = train_step(state, shard_batch(mesh, batch, axis=1))
             global_step += 1
-            loss = float(stats["total_loss"])
-            losses.update(loss, configs.runtime.batch_size)
+            inflight.append(stats["total_loss"])
+            if len(inflight) > max_inflight:
+                losses.update(float(inflight.popleft()), configs.runtime.batch_size)
             batch_time.update(time.time() - start)
             if tb_writer is not None and global_step % configs.runtime.tensorboard_freq == 0:
                 tb_writer.add_scalars(
@@ -124,6 +159,9 @@ def main(argv=None):
             if global_step % configs.runtime.print_freq == 0:
                 logger.info(progress.get_message(batch_idx))
             start = time.time()
+        while inflight:  # drain the lag window at epoch end
+            losses.update(float(inflight.popleft()), configs.runtime.batch_size)
+        logger.info(progress.get_message(steps_per_epoch - 1))
 
         if (not configs.runtime.no_val) and epoch % configs.runtime.checkpoint_freq == 0:
             val_loss = validate(create_val_loader(configs), state, eval_step, mesh)
@@ -131,12 +169,13 @@ def main(argv=None):
             if tb_writer is not None:
                 tb_writer.add_scalar("Val_loss", val_loss, epoch)
 
-        if epoch % configs.runtime.checkpoint_freq == 0:
+        if epoch % configs.runtime.checkpoint_freq == 0 and is_chief:
             path = save_checkpoint(
                 configs.checkpoints_dir, configs.runtime.saved_fn, state, epoch
             )
             logger.info(f"save a checkpoint at {path}")
 
+    profile.close()
     if tb_writer is not None:
         tb_writer.close()
 

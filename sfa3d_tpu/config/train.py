@@ -98,6 +98,9 @@ class RuntimeConfig:
     resume_path: Optional[str] = None
     # TPU mesh: data-parallel axis size; None = all local devices.
     mesh_shape: Optional[int] = None
+    # jax.profiler trace directory (SURVEY.md section 5 profiling hook);
+    # None disables tracing.
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,9 +158,13 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-wd", "--weight_decay", type=float, default=0.0, metavar="WD")
     p.add_argument("--optimizer_type", type=str, default="adam", metavar="OPTIMIZER")
     p.add_argument("--steps", nargs="*", default=[150, 180])
+    p.add_argument("--effective_batch", type=int, default=64,
+                   help="global batch kept via gradient accumulation (train.py:84-86)")
     # TPU replacement for the DDP flag block.
     p.add_argument("--mesh_shape", type=int, default=None,
                    help="data-parallel mesh axis size (default: all devices)")
+    p.add_argument("--profile_dir", type=str, default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the train loop")
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--resume_path", type=str, default=None, metavar="PATH")
     p.add_argument("--K", type=int, default=50)
@@ -197,6 +204,7 @@ def parse_train_configs(argv=None) -> TrainConfig:
             weight_decay=args.weight_decay,
             lr_type=args.lr_type,
             steps=tuple(int(s) for s in args.steps),
+            effective_batch=args.effective_batch,
         ),
         runtime=RuntimeConfig(
             seed=args.seed,
@@ -213,6 +221,7 @@ def parse_train_configs(argv=None) -> TrainConfig:
             pretrained_path=args.pretrained_path,
             resume_path=args.resume_path,
             mesh_shape=args.mesh_shape,
+            profile_dir=args.profile_dir,
         ),
         decode=DecodeConfig(K=args.K, peak_thresh=args.peak_thresh),
     )

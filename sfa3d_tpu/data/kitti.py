@@ -30,6 +30,9 @@ class KittiSample:
     n_labels: np.int32
     img_path: str
     calib: Optional[KittiCalibration] = None
+    # (max_objects,) int difficulty per label row (1/2/3, 4 = unknown;
+    # 0 past n_labels) — feeds the evaluator's Easy/Moderate/Hard buckets
+    levels: Optional[np.ndarray] = None
 
 
 class Object3d:
@@ -80,10 +83,13 @@ def read_label(label_path: str) -> List[Object3d]:
         return [Object3d(line) for line in f if line.strip()]
 
 
-def parse_labels_camera(label_path: str) -> Tuple[np.ndarray, bool]:
-    """Label file -> (N, 8) camera-frame rows [cat_id, x, y, z, h, w, l, ry],
-    ignoring Tram/Misc (kitti_dataset.py:124-155)."""
-    labels = []
+def parse_labels_camera(label_path: str) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Label file -> ((N, 8) camera-frame rows [cat_id, x, y, z, h, w, l, ry],
+    (N,) difficulty levels 1=Easy 2=Moderate 3=Hard 4=unknown), ignoring
+    Tram/Misc (kitti_dataset.py:124-155). Levels use the Object3d
+    2D-height/truncation/occlusion rule (kitti_data_utils.py:54-68) and feed
+    the evaluator's Easy/Moderate/Hard buckets."""
+    labels, levels = [], []
     for line in open(label_path):
         parts = line.strip().split(" ")
         if not parts or parts[0] not in cnf.CLASS_NAME_TO_ID:
@@ -95,9 +101,23 @@ def parse_labels_camera(label_path: str) -> Tuple[np.ndarray, bool]:
         x, y, z = float(parts[11]), float(parts[12]), float(parts[13])
         ry = float(parts[14])
         labels.append([cat_id, x, y, z, h, w, l, ry])
+        height = float(parts[7]) - float(parts[5]) + 1
+        trunc, occ = float(parts[1]), int(float(parts[2]))
+        if height >= 40 and trunc <= 0.15 and occ <= 0:
+            levels.append(1)
+        elif height >= 25 and trunc <= 0.3 and occ <= 1:
+            levels.append(2)
+        elif height >= 25 and trunc <= 0.5 and occ <= 2:
+            levels.append(3)
+        else:
+            levels.append(4)
     if not labels:
-        return np.zeros((1, 8), np.float32), False
-    return np.asarray(labels, np.float32), True
+        return np.zeros((1, 8), np.float32), np.zeros((1,), np.int32), False
+    return (
+        np.asarray(labels, np.float32),
+        np.asarray(levels, np.int32),
+        True,
+    )
 
 
 class KittiDataset:
@@ -179,7 +199,7 @@ class KittiDataset:
 
         calib = self.get_calib(sample_id)
         label_path = os.path.join(self.label_dir, f"{sample_id:06d}.txt")
-        cam_labels, has_labels = parse_labels_camera(label_path)
+        cam_labels, levels, has_labels = parse_labels_camera(label_path)
         if has_labels:
             velo = np.asarray(
                 camera_to_lidar_box(cam_labels[:, 1:], calib.V2C, calib.R0, calib.P2)
@@ -187,6 +207,7 @@ class KittiDataset:
             labels = np.concatenate([cam_labels[:, :1], velo], axis=1).astype(np.float32)
         else:
             labels = np.zeros((0, 8), np.float32)
+            levels = np.zeros((0,), np.int32)
 
         if self.lidar_aug is not None and len(labels):
             points, boxes = self.lidar_aug(points, labels[:, 1:], self.rng)
@@ -200,11 +221,16 @@ class KittiDataset:
                 & (labels[:, 3] >= cnf.boundary["minZ"]) & (labels[:, 3] < cnf.boundary["maxZ"])
             )
             labels = labels[m]
+            levels = levels[m]
 
         hflipped = bool(self.rng.random() < self.hflip_prob)
         pts, valid = self._pad_points(points)
         lab, n_lab = self._pad_labels(labels)
-        sample = KittiSample(sample_id, pts, valid, lab, n_lab, img_path, calib)
+        lev = np.zeros((self.max_objects,), np.int32)
+        lev[: int(n_lab)] = levels[: int(n_lab)]
+        sample = KittiSample(
+            sample_id, pts, valid, lab, n_lab, img_path, calib, levels=lev
+        )
         sample.hflipped = hflipped
         return sample
 

@@ -80,12 +80,20 @@ class KittiTrainLoader:
     """Yields train-step batches {bev: (S, B, H, W, 3), targets: (S, B, ...)}
     where S is the gradient-accumulation factor ("subdivisions",
     train.py:84-86) and B the per-step batch.
+
+    `num_workers > 0` enables the asynchronous pipeline (the reference's
+    DataLoader num_workers + pin_memory, kitti_dataloader.py:29-30): a
+    thread pool reads/augments samples (numpy releases the GIL) while a
+    producer thread collates + dispatches the device-side prep, keeping up
+    to `prefetch` ready device batches buffered ahead of the train step so
+    the chip never idles on host I/O. num_workers=0 is the synchronous
+    path; both orders are identical (the sampler fixes the sequence).
     """
 
     def __init__(self, dataset, batch_size: int, subdivisions: int = 1,
                  shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 prepare_fn=None):
+                 prepare_fn=None, num_workers: int = 0, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.subdivisions = subdivisions
@@ -96,6 +104,8 @@ class KittiTrainLoader:
         # device-side sample prep: (points, valid, labels, n_labels, hflip)
         # -> (bev, targets); defaults to the KITTI pipeline
         self.prepare_fn = prepare_fn or prepare_train_batch
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
 
     def __len__(self):
         per_step = self.batch_size * self.subdivisions
@@ -105,11 +115,41 @@ class KittiTrainLoader:
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
 
-    def __iter__(self):
+    def _iter_samples(self):
+        """Raw samples in sampler order; pooled reads when num_workers > 0,
+        bounded at ~2x workers in flight (an eager executor.map would pull
+        the whole epoch's raw clouds into memory)."""
+        if self.num_workers <= 0:
+            for idx in self.sampler:
+                yield self.dataset[idx]
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx_iter = iter(self.sampler)
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            pending = deque()
+
+            def submit():
+                idx = next(idx_iter, None)
+                if idx is None:
+                    return False
+                pending.append(ex.submit(self.dataset.__getitem__, idx))
+                return True
+
+            for _ in range(2 * self.num_workers):
+                if not submit():
+                    break
+            while pending:
+                sample = pending.popleft().result()
+                submit()
+                yield sample
+
+    def _iter_batches(self):
         per_step = self.batch_size * self.subdivisions
         chunk = []
-        for idx in self.sampler:
-            chunk.append(self.dataset[idx])
+        for sample in self._iter_samples():
+            chunk.append(sample)
             if len(chunk) == per_step:
                 yield self._collate(chunk)
                 chunk = []
@@ -119,6 +159,63 @@ class KittiTrainLoader:
             # the repeated sample in validation losses. Costs one extra
             # compile per distinct tail size.
             yield self._collate(chunk, batch_size=len(chunk), subdivisions=1)
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            yield from self._iter_batches()
+            return
+        # producer thread: overlaps sample reads + collate + device dispatch
+        # with the consumer's train step; `prefetch` bounds ready batches
+        # (each holds HBM for its bev tensor).
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        errors = []
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for batch in self._iter_batches():
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # propagate to the consumer
+                errors.append(e)
+            finally:
+                while True:  # sentinel must land even if the queue is full
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
+
+        t = threading.Thread(target=produce, daemon=True, name="loader-producer")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer may abandon mid-epoch: unblock and retire the producer
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=60.0)
+        if errors:
+            raise errors[0]
 
     def _collate(self, samples, batch_size=None, subdivisions=None):
         points = np.stack([s.points for s in samples])
@@ -163,13 +260,21 @@ def create_train_loader(configs, dataset_cls=None, process_index: int = 0,
         seed=configs.runtime.seed,
     )
     subdivisions = max(1, configs.optim.effective_batch // configs.runtime.batch_size)
+    # --batch_size is the GLOBAL per-step batch (the mesh spans all hosts);
+    # each process collates its 1/process_count slice and shard_batch
+    # assembles the slices into one global array
+    assert configs.runtime.batch_size % process_count == 0, (
+        f"batch_size {configs.runtime.batch_size} must divide evenly over "
+        f"{process_count} processes"
+    )
     return KittiTrainLoader(
         dataset,
-        batch_size=configs.runtime.batch_size,
+        batch_size=configs.runtime.batch_size // process_count,
         subdivisions=subdivisions,
         seed=configs.runtime.seed,
         process_index=process_index,
         process_count=process_count,
+        num_workers=configs.data.num_workers,
     )
 
 

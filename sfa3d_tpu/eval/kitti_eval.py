@@ -41,12 +41,10 @@ def _pad_rows(a, n):
 
 def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, metric):
     """Greedy matching of one frame's detections to GT. Returns
-    (tp_flags, matched_gt_count)."""
+    (K,) int match indices into gt (-1 = unmatched)."""
     nd, ng = len(det_boxes), len(gt_boxes)
-    if nd == 0:
-        return np.zeros(0, bool), 0
-    if ng == 0:
-        return np.zeros(nd, bool), 0
+    if nd == 0 or ng == 0:
+        return np.full(nd, -1, np.int64)
     # pad to a fixed shape: per-frame ragged (nd, ng) would recompile the
     # jitted pairwise kernels for every distinct size pair
     pad = max(_PAD, nd, ng)
@@ -60,13 +58,16 @@ def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, metric):
         )[:nd, :ng]
     order = np.argsort(-det_scores)
     gt_used = np.zeros(ng, bool)
-    tp = np.zeros(nd, bool)
+    match = np.full(nd, -1, np.int64)
     for i in order:
         j = int(np.argmax(np.where(gt_used, -1.0, iou[i])))
         if not gt_used[j] and iou[i, j] >= iou_thresh:
-            tp[i] = True
+            match[i] = j
             gt_used[j] = True
-    return tp, int(gt_used.sum())
+    return match
+
+
+DIFFICULTY_NAMES = {1: "Easy", 2: "Moderate", 3: "Hard"}
 
 
 def evaluate_kitti_ap(
@@ -75,6 +76,7 @@ def evaluate_kitti_ap(
     num_classes: int = 3,
     metric: str = "3d",
     iou_thresholds: Optional[Dict[int, float]] = None,
+    difficulty: Optional[int] = None,
 ) -> Dict[str, float]:
     """Compute per-class AP over a set of frames.
 
@@ -82,8 +84,13 @@ def evaluate_kitti_ap(
       detections: per frame {'boxes': (N, 7) [x,y,z,h,w,l,yaw] velodyne,
         'scores': (N,), 'classes': (N,)} numpy arrays (masked rows removed).
       ground_truths: per frame {'boxes': (M, 7), 'classes': (M,),
-        optional 'difficulty': (M,)}.
+        optional 'difficulty': (M,) int levels 1=Easy 2=Moderate 3=Hard
+        4=unknown (Object3d.get_obj_level)}.
       metric: '3d' (volume IoU) or 'bev' (rotated BEV IoU).
+      difficulty: KITTI bucket (1/2/3). When set, GT with level <= difficulty
+        count toward recall; HARDER GT are "ignored" per the KITTI protocol —
+        detections matched to them are neither TP nor FP (frames without a
+        'difficulty' array treat every GT as countable).
 
     Returns {'AP_<cls>': ap, ..., 'mAP': mean}.
     """
@@ -101,12 +108,19 @@ def evaluate_kitti_ap(
             det_boxes = np.asarray(det["boxes"], np.float32)[dm]
             det_scores = np.asarray(det["scores"], np.float32)[dm]
             gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
-            n_gt += len(gt_boxes)
-            tp, _ = _match_frame(
+            if difficulty is not None and "difficulty" in gt:
+                countable = np.asarray(gt["difficulty"])[gm] <= difficulty
+            else:
+                countable = np.ones(len(gt_boxes), bool)
+            n_gt += int(countable.sum())
+            match = _match_frame(
                 det_boxes, det_scores, gt_boxes, iou_thresholds[cls], metric
             )
-            scores_all.append(det_scores)
-            tp_all.append(tp)
+            # detections matched to an out-of-bucket GT are dropped from the
+            # PR curve entirely (KITTI "ignored": not FP, not TP)
+            ignored = (match >= 0) & ~countable[np.maximum(match, 0)]
+            scores_all.append(det_scores[~ignored])
+            tp_all.append((match >= 0)[~ignored])
         scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
         tps = np.concatenate(tp_all) if tp_all else np.zeros(0, bool)
         if n_gt == 0:
@@ -122,3 +136,18 @@ def evaluate_kitti_ap(
         aps.append(ap)
     results["mAP"] = float(np.mean(aps)) if aps else 0.0
     return results
+
+
+def evaluate_kitti_ap_by_difficulty(
+    detections: Sequence[Dict],
+    ground_truths: Sequence[Dict],
+    **kw,
+) -> Dict[str, Dict[str, float]]:
+    """Easy/Moderate/Hard AP table — the shape of the reference's published
+    results (/root/reference/README.md:223-226)."""
+    return {
+        name: evaluate_kitti_ap(
+            detections, ground_truths, difficulty=level, **kw
+        )
+        for level, name in DIFFICULTY_NAMES.items()
+    }

@@ -7,7 +7,12 @@ gradient all-reduce, and `nn.DataParallel` all collapse into a
 inserts the collectives, and they ride ICI.
 """
 
-from sfa3d_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from sfa3d_tpu.parallel.mesh import (
+    make_mesh,
+    maybe_init_distributed,
+    replicate,
+    shard_batch,
+)
 from sfa3d_tpu.parallel.train_step import (
     TrainState,
     create_train_state,
@@ -17,6 +22,7 @@ from sfa3d_tpu.parallel.train_step import (
 
 __all__ = [
     "make_mesh",
+    "maybe_init_distributed",
     "shard_batch",
     "replicate",
     "TrainState",

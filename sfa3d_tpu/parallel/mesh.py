@@ -59,12 +59,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: int = 0):
-    """Place a host pytree with its batch axis split across the mesh."""
+    """Place a host pytree with its batch axis split across the mesh.
+
+    Multi-host: each process passes its LOCAL slice of the global batch (the
+    sampler's process sharding delivers disjoint samples per host,
+    data/loader.py EpochSampler) and the pieces assemble into one global
+    array over the full mesh — the jax analog of DistributedSampler + DDP
+    (reference train.py:58-86)."""
     s = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, opt state) across the mesh."""
     s = replicated(mesh)
+    if jax.process_count() > 1:
+        # every process holds the full (identical) value
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host launch glue (reference dist.init_process_group,
+    train.py:82-83 -> jax.distributed.initialize, SURVEY.md section 2.8).
+
+    Gated on SFA3D_DIST=1 so single-host runs never touch the coordinator.
+    On Cloud TPU pods `jax.distributed.initialize()` auto-detects; elsewhere
+    set SFA3D_COORDINATOR / SFA3D_NUM_PROCESSES / SFA3D_PROCESS_ID (or pass
+    the standard JAX env vars). Call BEFORE any other jax API.
+    """
+    import os
+
+    if not os.environ.get("SFA3D_DIST"):
+        return False
+    kw = {}
+    if os.environ.get("SFA3D_COORDINATOR"):
+        kw["coordinator_address"] = os.environ["SFA3D_COORDINATOR"]
+    if os.environ.get("SFA3D_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["SFA3D_NUM_PROCESSES"])
+    if os.environ.get("SFA3D_PROCESS_ID"):
+        kw["process_id"] = int(os.environ["SFA3D_PROCESS_ID"])
+    jax.distributed.initialize(**kw)
+    return True

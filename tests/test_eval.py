@@ -107,3 +107,58 @@ def test_ap_perfect_and_degraded(rng):
         gt_frames,
     )
     assert empty["mAP"] == 0.0
+
+
+def _car_box(x):
+    return [x, 0.0, -1.7, 1.5, 1.6, 3.9, 0.0]
+
+
+def test_difficulty_buckets_follow_kitti_protocol():
+    """Easy bucket: only Easy GT count toward recall; detections matched to
+    harder GT are IGNORED (neither TP nor FP); unmatched stay FP."""
+    from sfa3d_tpu.eval import evaluate_kitti_ap, evaluate_kitti_ap_by_difficulty
+
+    gt = {
+        "boxes": np.asarray([_car_box(10), _car_box(20), _car_box(30)], np.float32),
+        "classes": np.asarray([1, 1, 1]),
+        "difficulty": np.asarray([1, 2, 3]),  # Easy, Moderate, Hard
+    }
+    det = {
+        "boxes": np.asarray(
+            [_car_box(10), _car_box(20), _car_box(30)], np.float32
+        ),
+        "scores": np.asarray([0.9, 0.8, 0.7], np.float32),
+        "classes": np.asarray([1, 1, 1]),
+    }
+    table = evaluate_kitti_ap_by_difficulty([det], [gt])
+    # every bucket is perfect: in Easy, the Moderate/Hard matches are ignored
+    # (not false positives), so precision stays 1.0 at full recall
+    for bucket in ("Easy", "Moderate", "Hard"):
+        assert table[bucket]["AP_1"] == pytest.approx(1.0, abs=1e-6), bucket
+
+    # a detection matched to NOTHING is a real FP in every bucket
+    det_fp = {
+        "boxes": np.asarray([_car_box(10), _car_box(55)], np.float32),
+        "scores": np.asarray([0.5, 0.9], np.float32),  # FP outscores the TP
+        "classes": np.asarray([1, 1]),
+    }
+    easy = evaluate_kitti_ap([det_fp], [gt], difficulty=1)
+    # 1 GT (easy), TP found at rank 2 behind an FP: precision at full recall
+    # is 0.5 -> AP well below 1
+    assert 0.2 < easy["AP_1"] < 0.8
+
+    # without a 'difficulty' array every GT counts in every bucket
+    gt_plain = {k: v for k, v in gt.items() if k != "difficulty"}
+    hard_only_det = {
+        "boxes": np.asarray([_car_box(30)], np.float32),
+        "scores": np.asarray([0.9], np.float32),
+        "classes": np.asarray([1]),
+    }
+    res = evaluate_kitti_ap([hard_only_det], [gt_plain], difficulty=1)
+    assert res["AP_1"] == pytest.approx(_expected_recall_ap(1, 3), abs=1e-6)
+
+
+def _expected_recall_ap(tp, n_gt):
+    """AP_R40 for a single clean TP out of n_gt (precision 1 up to recall
+    tp/n_gt, 0 beyond)."""
+    return sum(1.0 for r in np.linspace(0.025, 1.0, 40) if r <= tp / n_gt) / 40.0
