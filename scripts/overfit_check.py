@@ -18,6 +18,9 @@ import os
 import sys
 import tempfile
 
+# runnable as `python scripts/overfit_check.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     ap = argparse.ArgumentParser()
