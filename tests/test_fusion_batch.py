@@ -145,3 +145,36 @@ def test_batched_fusion_3d_outputs_consistent(rng):
     np.testing.assert_array_equal(
         np.asarray(out["mask_3d"]), np.asarray(sfa["mask"])
     )
+
+
+def test_batched_fusion_shards_over_mesh(rng):
+    """Serving-path multi-chip: the fused program runs with its batch axis
+    sharded over the 8-device data mesh (XLA partitions both networks and
+    the per-frame fusion vmap; no host gather until the final fetch)."""
+    from sfa3d_tpu.parallel import make_mesh, shard_batch
+
+    (kfpn, kvars, yolo, yvars, pts, val, images, V2C, R0, P2,
+     img_hw, lb_scale, lb_pad, _) = _models_and_inputs(rng)
+    mesh = make_mesh(8)
+    B = 8
+    rep = lambda a: np.concatenate([a] * (B // a.shape[0]))
+    batch = shard_batch(mesh, {
+        "pts": rep(pts), "val": rep(val), "img": rep(np.asarray(images)),
+        "V2C": rep(V2C), "R0": rep(R0), "P2": rep(P2), "hw": rep(img_hw),
+        "scale": rep(lb_scale), "pad": rep(lb_pad),
+    })
+    run = build_fused_pipeline(kfpn, yolo, K=K, max_yolo=MAX_YOLO)
+    out = run(kvars, yvars, batch["pts"], batch["val"], batch["img"],
+              batch["V2C"], batch["R0"], batch["P2"], batch["hw"],
+              batch["scale"], batch["pad"])
+    assert out["boxes"].shape[0] == B
+    # sharded batch in -> results match the single-device run frame-for-frame
+    single = run(kvars, yvars, rep(pts), rep(val), rep(np.asarray(images)),
+                 rep(V2C), rep(R0), rep(P2), rep(img_hw), rep(lb_scale),
+                 rep(lb_pad))
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(single["boxes"]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["valid"]), np.asarray(single["valid"])
+    )
