@@ -23,8 +23,8 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # lazy: keep `import sfa3d_tpu` cheap (no jax import at module load)
-    if name == "Detector":
-        from sfa3d_tpu.detector import Detector
+    if name in ("Detector", "FusedDetector"):
+        from sfa3d_tpu import detector
 
-        return Detector
+        return getattr(detector, name)
     raise AttributeError(name)

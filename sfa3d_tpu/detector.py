@@ -116,3 +116,107 @@ class Detector:
                     f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
                     f"{ry:.2f} {d['score']:.4f}\n"
                 )
+
+
+class FusedDetector:
+    """One-object API for the camera-LiDAR fusion path — the reference's
+    test6 flow (SFA3D + YOLOv8 + Bayesian fusion + Gaussian NMS,
+    test6.py:474-637) behind a single call, with the whole device side as
+    ONE jit program per batch (fusion/batch.py).
+
+        fd = FusedDetector()                            # random weights
+        fd = FusedDetector(checkpoint="....pth",        # SFA3D weights
+                           yolo_checkpoint="yolov8n.pt")  # ultralytics .pt
+        out = fd.detect(points, image_rgb, calib)
+
+    Returns {'boxes' (N, 4) int xywh image pixels, 'scores', 'classes',
+    'source' (0=yolo, 1=sfa3d, 2=fused), 'boxes_3d' (M, 8) metric rows}.
+    """
+
+    def __init__(
+        self,
+        arch: str = "fpn_resnet_18",
+        checkpoint: Optional[str] = None,
+        yolo_scale: str = "n",
+        yolo_checkpoint: Optional[str] = None,
+        mode: str = "bayesian",
+        use_gaussian_nms: bool = True,
+        K: int = 50,
+        max_yolo: int = 50,
+        peak_thresh: float = 0.2,
+        confidence_threshold: float = 0.25,
+        fusion_iou_threshold: float = 0.7,
+        gaussian_sigma: float = 0.5,
+        imgsz: int = 640,
+        dtype: str = "float32",
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from sfa3d_tpu.fusion.batch import build_fused_pipeline
+        from sfa3d_tpu.models import create_model
+        from sfa3d_tpu.models.yolov8 import YOLOv8
+        from sfa3d_tpu.pipeline import init_detector
+
+        jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        base = Detector(arch=arch, checkpoint=checkpoint, K=K,
+                        peak_thresh=peak_thresh, dtype=dtype)
+        self.kfpn, self.kvars = base.model, base.variables
+        self.imgsz = imgsz
+
+        self.yolo = YOLOv8(scale=yolo_scale, dtype=jdtype)
+        if yolo_checkpoint:
+            import torch
+
+            from sfa3d_tpu.models.yolov8 import port_ultralytics_state_dict
+
+            obj = torch.load(yolo_checkpoint, map_location="cpu", weights_only=False)
+            # ultralytics .pt files wrap the module: {'model': DetectionModel}
+            if isinstance(obj, dict) and "model" in obj:
+                obj = obj["model"]
+            sd = obj.float().state_dict() if hasattr(obj, "state_dict") else obj
+            self.yvars = port_ultralytics_state_dict(sd, scale=yolo_scale)
+        else:
+            self.yvars = self.yolo.init(
+                jax.random.PRNGKey(1),
+                np.zeros((1, imgsz, imgsz, 3), np.float32), train=False,
+            )
+
+        self._run = build_fused_pipeline(
+            self.kfpn, self.yolo, K=K, max_yolo=max_yolo, mode=mode,
+            use_gaussian_nms=use_gaussian_nms, peak_thresh=peak_thresh,
+            confidence_threshold=confidence_threshold,
+            fusion_iou_threshold=fusion_iou_threshold,
+            gaussian_sigma=gaussian_sigma,
+        )
+
+    def detect(self, points: np.ndarray, image_rgb: np.ndarray, calib) -> Dict:
+        """One frame: (N, 4) raw velodyne scan + HxWx3 RGB + calibration."""
+        import jax.numpy as jnp
+
+        from sfa3d_tpu.models.yolov8 import letterbox
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        pts, valid = filter_and_pad_points(points, max_points=cnf.MAX_POINTS_FILTERED)
+        img, r, (pad_w, pad_h) = letterbox(image_rgb, self.imgsz)
+        h, w = image_rgb.shape[:2]
+        out = self._run(
+            self.kvars, self.yvars,
+            jnp.asarray(pts[None]), jnp.asarray(valid[None]),
+            jnp.asarray(img[None]),
+            jnp.asarray(np.asarray(calib.V2C, np.float32)[None]),
+            jnp.asarray(np.asarray(calib.R0, np.float32)[None]),
+            jnp.asarray(np.asarray(calib.P2, np.float32)[None]),
+            jnp.asarray(np.float32([[h, w]])),
+            jnp.asarray(np.float32([r])),
+            jnp.asarray(np.float32([[pad_w, pad_h]])),
+        )
+        v = np.asarray(out["valid"])[0]
+        m3 = np.asarray(out["mask_3d"])[0]
+        return {
+            "boxes": np.asarray(out["boxes"])[0][v].astype(int),
+            "scores": np.asarray(out["scores"])[0][v],
+            "classes": np.asarray(out["classes"])[0][v],
+            "source": np.asarray(out["source"])[0][v],
+            "boxes_3d": np.asarray(out["boxes_real"])[0][m3],
+        }

@@ -83,3 +83,21 @@ def test_write_kitti_results(tmp_path):
     assert line[0] == "Car"
     assert len(line) == 16  # KITTI label row + score
     assert float(line[-1]) == pytest.approx(0.9)
+
+
+def test_fused_detector_facade(rng):
+    """FusedDetector: one call takes scan + image + calib and returns fused
+    2D boxes with sources plus the 3D branch."""
+    from sfa3d_tpu import FusedDetector
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+    from sfa3d_tpu.geometry.calibration import KittiCalibration
+
+    fd = FusedDetector(imgsz=64)
+    scan, _ = synthetic_scene(seed=1)
+    img = rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+    out = fd.detect(scan, img, KittiCalibration(None))
+    assert set(out) == {"boxes", "scores", "classes", "source", "boxes_3d"}
+    assert out["boxes"].shape[1:] == (4,)
+    assert out["boxes_3d"].shape[1:] == (8,)
+    assert len(out["boxes"]) == len(out["scores"]) == len(out["source"])
+    assert set(np.unique(out["source"])) <= {0, 1, 2}
