@@ -26,9 +26,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--batch_size", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    # 1e-3 at batch 8 oscillates (loss plateaus ~9.8 and detections
+    # degrade); 5e-4 converges to loss ~3 and near-perfect AP
+    ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--min_map", type=float, default=0.5,
                     help="hard-failure floor; the expected overfit mAP is ~1.0")
     args = ap.parse_args()
@@ -63,6 +65,7 @@ def main():
         "--saved_fn", "overfit",
         "--compute_dtype", "float32",
         "--hflip_prob", "0.0",
+        "--aug_prob", "0.0",  # pure memorization: no rotation/scaling aug
     ])
 
     ckpts = sorted(glob.glob(os.path.join(tmp, "checkpoints", "overfit", "*")))

@@ -142,6 +142,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--imagenet_weights", type=str, default=None, metavar="PATH",
                    help="local torchvision resnet .pth (no-egress environment)")
     p.add_argument("--hflip_prob", type=float, default=0.5)
+    p.add_argument("--aug_prob", type=float, default=0.66,
+                   help="OneOf(rotation, scaling) probability; 0 disables")
     p.add_argument("--no-val", dest="no_val", action="store_true")
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=4)
@@ -193,6 +195,7 @@ def parse_train_configs(argv=None) -> TrainConfig:
             dataset=args.dataset,
             dataset_dir=dataset_dir,
             hflip_prob=args.hflip_prob,
+            aug_prob=args.aug_prob,
             num_samples=args.num_samples,
             num_workers=args.num_workers,
         ),
