@@ -209,7 +209,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the timed loops")
-    ap.add_argument("--batches", type=int, nargs="*", default=[32, 64, 128])
+    ap.add_argument("--batches", type=int, nargs="*", default=[64, 128, 256])
     ap.add_argument("--train", action="store_true",
                     help="measure the training step instead of inference")
     ap.add_argument("--train_batch", type=int, default=16)

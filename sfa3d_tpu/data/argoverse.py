@@ -184,7 +184,8 @@ class ArgoverseTrainLoader:
 
     def __new__(cls, dataset, batch_size: int, subdivisions: int = 1,
                 shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
-                process_index: int = 0, process_count: int = 1):
+                process_index: int = 0, process_count: int = 1,
+                num_workers: int = 0, prefetch: int = 2):
         from sfa3d_tpu.data.loader import KittiTrainLoader
 
         def prepare(points, valid, labels, n_labels, hflip):
@@ -195,6 +196,7 @@ class ArgoverseTrainLoader:
         return KittiTrainLoader(
             dataset, batch_size, subdivisions, shuffle, seed, drop_last,
             process_index, process_count, prepare_fn=prepare,
+            num_workers=num_workers, prefetch=prefetch,
         )
 
 

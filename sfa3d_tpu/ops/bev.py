@@ -129,9 +129,17 @@ def points_to_bev(
     qz = jnp.clip((zs / z_range * 131071.0 + 0.5).astype(jnp.int32), 0, 131071)
     qr = jnp.clip((r * 8191.0 + 0.5).astype(jnp.int32), 0, 8191)
     key = jnp.where(ok, qz * 8192 + qr, -1)
-    key_max = jax.ops.segment_max(key, cid, num_segments=num_cells + 1)
+    # Sorting the 32k cell ids on device first lets both scatters take XLA's
+    # sorted-indices path — measured 21% faster than unsorted scatters on
+    # v5e (scripts/exp_raster.py; a single fused scatter-set variant was 4x
+    # SLOWER — recorded there as a negative result). Bit-exact either way.
+    cid_s, key_s, ok_s = jax.lax.sort((cid, key, ok.astype(jnp.int32)), num_keys=1)
+    key_max = jax.ops.segment_max(
+        key_s, cid_s, num_segments=num_cells + 1, indices_are_sorted=True
+    )
     count = jax.ops.segment_sum(
-        ok.astype(jnp.float32), cid, num_segments=num_cells + 1
+        ok_s.astype(jnp.float32), cid_s, num_segments=num_cells + 1,
+        indices_are_sorted=True,
     )
 
     key_max = key_max[:num_cells]
@@ -221,14 +229,21 @@ def argoverse_points_to_bev(
     num_cells = H * W
     cid = jnp.where(ok, row * W + col, num_cells)
 
+    # device-sorted ids -> sorted-indices scatter path (same win as
+    # points_to_bev; scripts/exp_raster.py)
+    cid_s, z_s, r_s, ok_s = jax.lax.sort(
+        (cid, jnp.where(ok, z, -1e30), jnp.where(ok, r, -1e30),
+         ok.astype(jnp.float32)),
+        num_keys=1,
+    )
     z_top = jax.ops.segment_max(
-        jnp.where(ok, z, -1e30), cid, num_segments=num_cells + 1
+        z_s, cid_s, num_segments=num_cells + 1, indices_are_sorted=True
     )[:num_cells]
     r_top = jax.ops.segment_max(
-        jnp.where(ok, r, -1e30), cid, num_segments=num_cells + 1
+        r_s, cid_s, num_segments=num_cells + 1, indices_are_sorted=True
     )[:num_cells]
     count = jax.ops.segment_sum(
-        ok.astype(jnp.float32), cid, num_segments=num_cells + 1
+        ok_s, cid_s, num_segments=num_cells + 1, indices_are_sorted=True
     )[:num_cells]
 
     height = jnp.maximum(z_top, 0.0) * (count > 0)  # zero-floor like the ref
