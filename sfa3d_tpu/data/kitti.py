@@ -178,6 +178,18 @@ class KittiDataset:
 
         return filter_and_pad_points(points, max_points=self.max_points)
 
+    def _read_points_filtered(self, sample_id: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused native read+filter+pad when no augmentation needs the raw
+        cloud — the ~120k-point scan is never materialized (native/preproc.cpp
+        streams the .bin). Falls back to fromfile + numpy filter."""
+        from sfa3d_tpu import native
+
+        path = os.path.join(self.lidar_dir, f"{sample_id:06d}.bin")
+        res = native.read_velodyne_filtered(path, self.max_points, cnf.boundary)
+        if res is not None:
+            return res
+        return self._pad_points(self.get_lidar(sample_id))
+
     def _pad_labels(self, labels: np.ndarray) -> Tuple[np.ndarray, np.int32]:
         out = np.zeros((self.max_objects, 8), np.float32)
         n = min(len(labels), self.max_objects)
@@ -186,11 +198,10 @@ class KittiDataset:
 
     def __getitem__(self, index: int) -> KittiSample:
         sample_id = int(self.sample_id_list[index])
-        points = self.get_lidar(sample_id)
         img_path = self.get_image_path(sample_id)
 
         if self.is_test:
-            pts, valid = self._pad_points(points)
+            pts, valid = self._read_points_filtered(sample_id)
             return KittiSample(
                 sample_id, pts, valid,
                 np.zeros((self.max_objects, 8), np.float32), np.int32(0),
@@ -209,7 +220,11 @@ class KittiDataset:
             labels = np.zeros((0, 8), np.float32)
             levels = np.zeros((0,), np.int32)
 
-        if self.lidar_aug is not None and len(labels):
+        # augmentation needs the raw (unfiltered) cloud; otherwise the fused
+        # native read+filter+pad path skips materializing it entirely
+        do_aug = self.lidar_aug is not None and len(labels)
+        if do_aug:
+            points = self.get_lidar(sample_id)
             points, boxes = self.lidar_aug(points, labels[:, 1:], self.rng)
             labels = np.concatenate([labels[:, :1], np.asarray(boxes, np.float32)], axis=1)
 
@@ -224,7 +239,10 @@ class KittiDataset:
             levels = levels[m]
 
         hflipped = bool(self.rng.random() < self.hflip_prob)
-        pts, valid = self._pad_points(points)
+        if do_aug:
+            pts, valid = self._pad_points(points)
+        else:
+            pts, valid = self._read_points_filtered(sample_id)
         lab, n_lab = self._pad_labels(labels)
         lev = np.zeros((self.max_objects,), np.int32)
         lev[: int(n_lab)] = levels[: int(n_lab)]
@@ -253,17 +271,21 @@ class DemoKittiDataset:
 
     def __getitem__(self, index: int):
         sid = self.sample_ids[index]
-        points = np.fromfile(
-            os.path.join(self.lidar_dir, f"{sid:010d}.bin"), dtype=np.float32
-        ).reshape(-1, 4)
+        lidar_path = os.path.join(self.lidar_dir, f"{sid:010d}.bin")
         img_path = os.path.join(self.image_dir, f"{sid:010d}.png")
         # host-filter to the UNION of the front and back detection windows
         # before padding — truncating raw ~120k-point scans would silently
         # drop a contiguous azimuth sector (see CLAUDE.md invariants). The
         # two-sided window keeps well under the pad budget.
+        union = dict(cnf.boundary, minX=cnf.boundary_back["minX"])
+        from sfa3d_tpu import native
+
+        res = native.read_velodyne_filtered(lidar_path, self.max_points, union)
+        if res is not None:
+            return res[0], res[1], img_path
         from sfa3d_tpu.ops.bev import filter_and_pad_points
 
-        union = dict(cnf.boundary, minX=cnf.boundary_back["minX"])
+        points = np.fromfile(lidar_path, dtype=np.float32).reshape(-1, 4)
         out, valid = filter_and_pad_points(
             points, max_points=self.max_points, boundary=union
         )

@@ -50,8 +50,25 @@ def filter_and_pad_points(
     the shift itself, so this output feeds it directly — composing the two
     public APIs is safe by construction (a shifted output here would make
     the kernel's z-range gate silently drop most points).
+
+    Runs the single-pass C++ kernel (sfa3d_tpu/native/preproc.cpp) when the
+    native runtime is built; numpy otherwise. Identical outputs either way
+    (tests/test_native.py asserts bit-equality).
     """
     points = np.asarray(points, dtype=np.float32)
+    if points.ndim == 2 and points.shape[1] == 4:
+        from sfa3d_tpu import native
+
+        res = native.filter_pad_points(points, max_points, boundary)
+        if res is not None:
+            return res
+    return _filter_and_pad_numpy(points, max_points, boundary)
+
+
+def _filter_and_pad_numpy(
+    points: np.ndarray, max_points: int, boundary: Dict[str, float]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy fallback (and the parity oracle for the native kernel)."""
     mask = (
         (points[:, 0] >= boundary["minX"])
         & (points[:, 0] <= boundary["maxX"])
