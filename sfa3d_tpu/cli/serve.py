@@ -1,0 +1,148 @@
+"""Serving entry point: line-delimited JSON requests over stdio or TCP,
+answered from the dynamically-batched detector server (runtime/serving.py).
+
+Protocol (one JSON object per line):
+  request:  {"id": <any>, "lidar": "/path/to/scan.bin"}
+        or  {"id": <any>, "points": [[x, y, z, r], ...]}
+  response: {"id": <any>, "detections": [{class_name, score, x, y, z, h, w,
+             l, yaw, class_id}, ...]}
+  error:    {"id": <any>, "error": "..."}
+
+TCP mode (--port) accepts many concurrent connections; requests from all
+clients coalesce into shared device batches. Capability beyond the
+reference (it ships no serving layer — SURVEY.md §1).
+
+  python -m sfa3d_tpu.cli serve --pretrained_path ckpt [--port 8471]
+                                [--max_batch 8] [--max_delay_ms 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser("serve")
+    p.add_argument("--pretrained_path", default=None,
+                   help="torch .pth or Orbax checkpoint dir (random init if absent)")
+    p.add_argument("--arch", default="fpn_resnet_18")
+    p.add_argument("--K", type=int, default=50)
+    p.add_argument("--peak_thresh", type=float, default=0.2)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--port", type=int, default=None,
+                   help="TCP port; omit for stdin/stdout mode")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                   help="force a jax platform (the axon plugin ignores "
+                        "JAX_PLATFORMS; this uses the config flag, which wins)")
+    return p.parse_args(argv)
+
+
+def _submit(server, req):
+    if "lidar" in req:
+        return server.submit_file(req["lidar"])
+    import numpy as np
+
+    pts = np.asarray(req["points"], np.float32).reshape(-1, 4)
+    return server.submit(pts)
+
+
+def _handle_stream(server, rfile, wfile, lock=None):
+    """One client: pipeline request parsing against device batching — every
+    pending line becomes an in-flight future before the first reply is
+    written, so a burst from one client still fills a device batch."""
+    pending = []
+    for line in rfile:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            pending.append((req.get("id"), _submit(server, req)))
+        except Exception as e:
+            pending.append((None, e))
+        # replies stay in request order; only resolved heads are flushed
+        while pending and (
+            isinstance(pending[0][1], Exception) or pending[0][1].done()
+        ):
+            _reply(wfile, *pending.pop(0), lock=lock)
+    for rid, fut in pending:
+        _reply(wfile, rid, fut, lock=lock)
+
+
+def _reply(wfile, rid, fut_or_err, lock=None):
+    if isinstance(fut_or_err, Exception):
+        msg = {"id": rid, "error": str(fut_or_err)}
+    else:
+        try:
+            msg = {"id": rid, "detections": fut_or_err.result()}
+        except Exception as e:
+            msg = {"id": rid, "error": str(e)}
+    data = json.dumps(msg) + "\n"
+    if lock:
+        with lock:
+            wfile.write(data)
+            wfile.flush()
+    else:
+        wfile.write(data)
+        wfile.flush()
+
+
+def main(argv=None):
+    args = _parse(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from sfa3d_tpu.detector import Detector
+    from sfa3d_tpu.runtime.serving import BatchingDetectorServer
+
+    det = Detector(arch=args.arch, checkpoint=args.pretrained_path,
+                   K=args.K, peak_thresh=args.peak_thresh, dtype=args.dtype)
+    server = BatchingDetectorServer(
+        det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+    )
+
+    if args.port is None:
+        _handle_stream(server, sys.stdin, sys.stdout)
+        server.stop()
+        print(json.dumps({"stats": server.stats}), file=sys.stderr)
+        return
+
+    import socket
+
+    sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sock.bind((args.host, args.port))
+    sock.listen(64)
+    print(f"serving on {args.host}:{sock.getsockname()[1]}", file=sys.stderr, flush=True)
+
+    def client(conn):
+        with conn:
+            rfile = conn.makefile("r")
+            wfile = conn.makefile("w")
+            lock = threading.Lock()
+            try:
+                _handle_stream(server, rfile, wfile, lock=lock)
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+    try:
+        while True:
+            conn, _ = sock.accept()
+            threading.Thread(target=client, args=(conn,), daemon=True).start()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+        sock.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,6 +24,28 @@ import numpy as np
 from sfa3d_tpu.config import kitti as cnf
 
 
+def format_detections(out: Dict, i: int) -> List[Dict]:
+    """detect_frames output pytree -> list of detection dicts for frame i
+    (the reference's convert_det_to_real_values rows as a friendly record)."""
+    mask = np.asarray(out["mask"])[i]
+    real = np.asarray(out["boxes_real"])[i]
+    scores = np.asarray(out["detections"])[i, :, 0]
+    dets = []
+    for row, score in zip(real[mask], scores[mask]):
+        cls = int(row[0])
+        dets.append(
+            {
+                "class_id": cls,
+                "class_name": cnf.ID_TO_CLASS_NAME.get(cls, str(cls)),
+                "score": float(score),
+                "x": float(row[1]), "y": float(row[2]), "z": float(row[3]),
+                "h": float(row[4]), "w": float(row[5]), "l": float(row[6]),
+                "yaw": float(row[7]),
+            }
+        )
+    return dets
+
+
 class Detector:
     def __init__(
         self,
@@ -74,23 +96,7 @@ class Detector:
             self.model, self.variables, jnp.asarray(pts[None]),
             jnp.asarray(valid[None]), K=self.K, peak_thresh=self.peak_thresh,
         )
-        mask = np.asarray(out["mask"])[0]
-        real = np.asarray(out["boxes_real"])[0]
-        scores = np.asarray(out["detections"])[0, :, 0]
-        dets = []
-        for row, score in zip(real[mask], scores[mask]):
-            cls = int(row[0])
-            dets.append(
-                {
-                    "class_id": cls,
-                    "class_name": cnf.ID_TO_CLASS_NAME.get(cls, str(cls)),
-                    "score": float(score),
-                    "x": float(row[1]), "y": float(row[2]), "z": float(row[3]),
-                    "h": float(row[4]), "w": float(row[5]), "l": float(row[6]),
-                    "yaw": float(row[7]),
-                }
-            )
-        return dets
+        return format_detections(out, 0)
 
     def detect_file(self, velodyne_bin: str) -> List[Dict]:
         points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)

@@ -1,0 +1,92 @@
+"""Batched serving runtime: correctness, batching behavior, TCP protocol.
+
+The server must return what Detector.detect returns for the same scan
+(numerically — batch padding may change XLA fusion order, so exact bit
+equality is not asserted), coalesce concurrent requests into shared device
+batches, and fail cleanly after stop().
+"""
+
+import json
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sfa3d_tpu.data.synthetic import synthetic_scene
+from sfa3d_tpu.detector import Detector
+from sfa3d_tpu.runtime.serving import BatchingDetectorServer
+
+
+@pytest.fixture(scope="module")
+def detector():
+    # random weights are fine: the server is compared against the same
+    # detector object, not against a truth set
+    return Detector(peak_thresh=0.0)
+
+
+@pytest.fixture(scope="module")
+def scans():
+    return [synthetic_scene(seed=s)[0] for s in range(5)]
+
+
+def assert_dets_close(a, b, tol=1e-4):
+    assert len(a) == len(b)
+    for da, db in zip(a, b):
+        assert da["class_id"] == db["class_id"]
+        for k in ("score", "x", "y", "z", "h", "w", "l", "yaw"):
+            assert abs(da[k] - db[k]) <= tol, (k, da, db)
+
+
+def test_server_matches_direct_detect_and_batches(detector, scans):
+    server = BatchingDetectorServer(detector, max_batch=8, max_delay_ms=500.0)
+    try:
+        futs = [server.submit(s) for s in scans]
+        got = [f.result(timeout=600) for f in futs]
+        n_batches = server.stats["batches"]
+    finally:
+        server.stop()
+    assert server.stats["served"] == len(scans)
+    # 5 requests submitted inside one delay window share device batches
+    assert n_batches <= 2
+    for g, s in zip(got, scans):
+        assert_dets_close(g, detector.detect(s))
+
+
+def test_stop_drains_then_rejects(detector, scans):
+    server = BatchingDetectorServer(detector, max_batch=8, max_delay_ms=1.0)
+    fut = server.submit(scans[0])
+    server.stop()
+    assert isinstance(fut.result(timeout=600), list)  # drained, not cancelled
+    with pytest.raises(RuntimeError):
+        server.submit(scans[1])
+
+
+def test_tcp_server_roundtrip(tmp_path, detector, scans):
+    scans[0].astype(np.float32).tofile(tmp_path / "scan.bin")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sfa3d_tpu.cli", "serve", "--port", "0",
+         "--peak_thresh", "0.0", "--max_delay_ms", "5", "--platform", "cpu"],
+        stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        line = proc.stderr.readline()  # "serving on host:port"
+        port = int(line.strip().rsplit(":", 1)[1])
+        with socket.create_connection(("127.0.0.1", port), timeout=600) as conn:
+            conn.settimeout(600)
+            f = conn.makefile("rw")
+            f.write(json.dumps({"id": 1, "lidar": str(tmp_path / "scan.bin")}) + "\n")
+            f.write(json.dumps({"id": 2, "points": scans[1][:1000].tolist()}) + "\n")
+            f.write(json.dumps({"id": 3, "lidar": "/nonexistent.bin"}) + "\n")
+            f.flush()
+            replies = [json.loads(f.readline()) for _ in range(3)]
+        by_id = {r["id"]: r for r in replies}
+        assert "detections" in by_id[1]
+        assert "detections" in by_id[2]
+        assert "error" in by_id[3]
+        # server output for the file request == local Detector on the scan
+        assert_dets_close(by_id[1]["detections"], detector.detect(scans[0]))
+    finally:
+        proc.terminate()
+        proc.wait(timeout=60)
