@@ -53,26 +53,40 @@ def _submit(server, req):
 
 
 def _handle_stream(server, rfile, wfile, lock=None):
-    """One client: pipeline request parsing against device batching — every
-    pending line becomes an in-flight future before the first reply is
-    written, so a burst from one client still fills a device batch."""
-    pending = []
-    for line in rfile:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-            pending.append((req.get("id"), _submit(server, req)))
-        except Exception as e:
-            pending.append((None, e))
-        # replies stay in request order; only resolved heads are flushed
-        while pending and (
-            isinstance(pending[0][1], Exception) or pending[0][1].done()
-        ):
-            _reply(wfile, *pending.pop(0), lock=lock)
-    for rid, fut in pending:
-        _reply(wfile, rid, fut, lock=lock)
+    """One client. The reader (this function) only parses lines and submits
+    — every pending request becomes an in-flight future immediately, so a
+    burst from one client fills a device batch. A dedicated writer thread
+    resolves futures in request order and streams replies; replies never
+    wait for further input (a reader-thread flush would deadlock a client
+    that sends N requests and then blocks on the first reply)."""
+    import queue
+
+    out_q: "queue.Queue" = queue.Queue()
+
+    def writer():
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            _reply(wfile, *item, lock=lock)
+
+    t = threading.Thread(target=writer, daemon=True, name="serve-writer")
+    t.start()
+    try:
+        for line in rfile:
+            line = line.strip()
+            if not line:
+                continue
+            rid = None
+            try:
+                req = json.loads(line)
+                rid = req.get("id")
+                out_q.put((rid, _submit(server, req)))
+            except Exception as e:
+                out_q.put((rid, e))
+    finally:
+        out_q.put(None)
+        t.join()
 
 
 def _reply(wfile, rid, fut_or_err, lock=None):

@@ -62,6 +62,10 @@ class DataConfig:
     hflip_prob: float = 0.5
     num_samples: Optional[int] = None
     num_workers: int = 4
+    # "uint16" halves host->device point ingest bytes (dequantized on device,
+    # resolution two orders inside the raster's quantization) — for
+    # PCIe/tunnel-bound input pipelines; float32 is the parity default
+    point_format: str = "float32"
     aug_prob: float = 0.66  # OneOf(rotation, scaling) probability
     rotation_limit: float = 0.7853981633974483  # pi/4
     scaling_range: Tuple[float, float] = (0.95, 1.05)
@@ -147,6 +151,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-val", dest="no_val", action="store_true")
     p.add_argument("--num_samples", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--point_format", default="float32",
+                   choices=["float32", "uint16"],
+                   help="uint16 halves host->device point bytes (device-side "
+                        "dequantize; sub-mm resolution)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--print_freq", type=int, default=50, metavar="N")
     p.add_argument("--tensorboard_freq", type=int, default=50, metavar="N")
@@ -198,6 +206,7 @@ def parse_train_configs(argv=None) -> TrainConfig:
             aug_prob=args.aug_prob,
             num_samples=args.num_samples,
             num_workers=args.num_workers,
+            point_format=args.point_format,
         ),
         optim=OptimConfig(
             optimizer_type=args.optimizer_type,

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sfa3d_tpu.ops.bev import points_to_bev
+from sfa3d_tpu.ops.bev import dequantize_points, points_to_bev, quantize_points_uint16
 from sfa3d_tpu.ops.targets import build_targets
 
 
@@ -65,6 +65,10 @@ def prepare_train_batch(
     (+W-flip where hflip) and training targets."""
 
     def one(p, v, lab, n, hf):
+        if p.dtype == jnp.uint16:
+            # uint16 ingest mode: the host ships quantized points (half the
+            # PCIe/tunnel bytes); dequantize inside the same jit region
+            p = dequantize_points(p)
         bev = points_to_bev(p, v)
         bev = jnp.where(hf, bev[:, ::-1, :], bev)
         tg = build_targets(
@@ -93,7 +97,8 @@ class KittiTrainLoader:
     def __init__(self, dataset, batch_size: int, subdivisions: int = 1,
                  shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 prepare_fn=None, num_workers: int = 0, prefetch: int = 2):
+                 prepare_fn=None, num_workers: int = 0, prefetch: int = 2,
+                 point_format: str = "float32"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.subdivisions = subdivisions
@@ -106,6 +111,11 @@ class KittiTrainLoader:
         self.prepare_fn = prepare_fn or prepare_train_batch
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
+        # "uint16" halves the host->device point bytes (0.76 mm xy / 0.06 mm
+        # z resolution — two orders inside the raster's own quantization);
+        # dequantization happens inside the prep jit (ops/bev.py)
+        assert point_format in ("float32", "uint16"), point_format
+        self.point_format = point_format
 
     def __len__(self):
         per_step = self.batch_size * self.subdivisions
@@ -219,6 +229,8 @@ class KittiTrainLoader:
 
     def _collate(self, samples, batch_size=None, subdivisions=None):
         points = np.stack([s.points for s in samples])
+        if self.point_format == "uint16":
+            points = quantize_points_uint16(points)
         valid = np.stack([s.valid for s in samples])
         labels = np.stack([s.labels for s in samples])
         n_labels = np.asarray([s.n_labels for s in samples], np.int32)
@@ -275,6 +287,7 @@ def create_train_loader(configs, dataset_cls=None, process_index: int = 0,
         process_index=process_index,
         process_count=process_count,
         num_workers=configs.data.num_workers,
+        point_format=getattr(configs.data, "point_format", "float32"),
     )
 
 

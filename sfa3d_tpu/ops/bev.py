@@ -205,6 +205,37 @@ def make_bev_map(points: np.ndarray, boundary: Dict[str, float] = cnf.boundary) 
     return np.asarray(points_to_bev(padded, valid, bound=bound))
 
 
+# uint16 point quantization for the host->device hop: x/y/z ranges come from
+# the KITTI detection boundary (points are range-filtered before padding),
+# intensity from [0, 1]. Resolution: x, y 0.76 mm; z 0.06 mm; r 1.5e-5 —
+# two orders inside the raster's own quantization. Halves PCIe/ICI ingest
+# bytes; opt-in via the loader's point_format="uint16".
+_QSCALE = np.asarray(
+    [
+        (cnf.boundary["maxX"] - cnf.boundary["minX"]) / 65535.0,
+        (cnf.boundary["maxY"] - cnf.boundary["minY"]) / 65535.0,
+        (cnf.boundary["maxZ"] - cnf.boundary["minZ"]) / 65535.0,
+        1.0 / 65535.0,
+    ],
+    np.float32,
+)
+_QMIN = np.asarray(
+    [cnf.boundary["minX"], cnf.boundary["minY"], cnf.boundary["minZ"], 0.0],
+    np.float32,
+)
+
+
+def quantize_points_uint16(points: np.ndarray) -> np.ndarray:
+    """Host side: (…, 4) float32 boundary-filtered points -> uint16."""
+    q = np.rint((points - _QMIN) / _QSCALE)
+    return np.clip(q, 0, 65535).astype(np.uint16)
+
+
+def dequantize_points(q: jax.Array) -> jax.Array:
+    """Device side (jit-safe): uint16 -> float32 points."""
+    return q.astype(jnp.float32) * jnp.asarray(_QSCALE) + jnp.asarray(_QMIN)
+
+
 def _pad_raw(points: np.ndarray, max_points: int = cnf.MAX_POINTS):
     """Pad/truncate a raw scan without filtering (the device kernel filters)."""
     n = min(len(points), max_points)

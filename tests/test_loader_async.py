@@ -84,3 +84,89 @@ def test_tail_batch_async_matches_sync():
     got_s, got_a = list(sync), list(asyn)
     assert len(got_s) == len(got_a) == 2  # one full step + one tail
     assert got_s[-1]["bev"].shape == got_a[-1]["bev"].shape == (1, 3, 32, 4)
+
+
+def test_uint16_point_format_matches_float32():
+    """uint16 ingest: quantize->device-dequantize->raster must match the
+    float32 path within the quantization resolution, and targets (labels are
+    never quantized) must be identical."""
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.config import kitti as cnf
+    from sfa3d_tpu.data.loader import KittiTrainLoader
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+    from sfa3d_tpu.ops.bev import (
+        dequantize_points,
+        filter_and_pad_points,
+        quantize_points_uint16,
+    )
+
+    # roundtrip resolution bounds
+    scan, _ = synthetic_scene(seed=0)
+    pts, valid = filter_and_pad_points(scan)
+    back = np.asarray(dequantize_points(jnp.asarray(quantize_points_uint16(pts))))
+    err = np.abs(back - pts)[valid]
+    assert err[:, 0].max() <= 0.5e-3  # x: 0.76 mm scale -> <=0.38 mm rounding
+    assert err[:, 1].max() <= 0.5e-3
+    assert err[:, 2].max() <= 0.05e-3
+    assert err[:, 3].max() <= 1e-5
+
+    class _DS:
+        def __init__(self):
+            self.samples = []
+            for s in range(4):
+                scan, _ = synthetic_scene(seed=s)
+                p, v = filter_and_pad_points(scan)
+                o = _Sample(0)
+                o.points, o.valid = p, v
+                o.labels = np.zeros((50, 8), np.float32)
+                o.labels[0] = [0, 10, 0, -1, 1.5, 1.6, 3.9, 0.3]
+                o.n_labels = 1
+                self.samples.append(o)
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    def mk(fmt):
+        return KittiTrainLoader(
+            _DS(), batch_size=2, subdivisions=1, shuffle=False,
+            point_format=fmt,
+        )
+
+    b32 = list(iter(mk("float32")))
+    b16 = list(iter(mk("uint16")))
+    assert len(b32) == len(b16) == 2
+    for a, b in zip(b32, b16):
+        bev_a, bev_b = np.asarray(a["bev"]), np.asarray(b["bev"])
+        # quantization == +-0.4 mm sensor noise: the ~1-2% of points that
+        # sit within 0.4 mm of an 82 mm cell edge flip cells, everything
+        # else moves by at most one packed-key step. Bound the drift:
+        changed = np.abs(bev_a - bev_b).max(-1) > 4e-4
+        assert changed.mean() < 2e-3, changed.mean()
+        # targets come from labels, which are never quantized
+        for k in a["targets"]:
+            np.testing.assert_array_equal(
+                np.asarray(a["targets"][k]), np.asarray(b["targets"][k])
+            )
+
+    # the loader plumbing adds nothing beyond XLA fusion jitter: the uint16
+    # batch equals the raster of the dequantized points computed directly,
+    # except where fused dequantize arithmetic lands a value exactly on a
+    # quantization-bucket boundary (one packed-key step on isolated cells)
+    from sfa3d_tpu.data.loader import prepare_train_batch
+    import jax
+
+    ds = _DS()
+    qpts = np.stack([quantize_points_uint16(ds[i].points) for i in (0, 1)])
+    direct, _ = prepare_train_batch(
+        dequantize_points(jnp.asarray(qpts)),
+        jnp.asarray(np.stack([ds[i].valid for i in (0, 1)])),
+        jnp.asarray(np.stack([ds[i].labels for i in (0, 1)])),
+        jnp.asarray([1, 1], np.int32),
+        jnp.asarray([False, False]),
+    )
+    d = np.abs(np.asarray(b16[0]["bev"])[0] - np.asarray(direct))
+    assert d.max() <= 1.3e-4 and (d > 0).sum() <= 4, (d.max(), (d > 0).sum())

@@ -71,8 +71,19 @@ def test_tcp_server_roundtrip(tmp_path, detector, scans):
         stderr=subprocess.PIPE, text=True,
     )
     try:
-        line = proc.stderr.readline()  # "serving on host:port"
-        port = int(line.strip().rsplit(":", 1)[1])
+        # stderr carries jax warnings too — scan for the announce line
+        port = None
+        for line in proc.stderr:
+            if line.startswith("serving on "):
+                port = int(line.strip().rsplit(":", 1)[1])
+                break
+        assert port, "server never announced its port"
+        # drain further stderr so the server never blocks on a full pipe
+        import threading
+
+        threading.Thread(
+            target=lambda: [None for _ in proc.stderr], daemon=True
+        ).start()
         with socket.create_connection(("127.0.0.1", port), timeout=600) as conn:
             conn.settimeout(600)
             f = conn.makefile("rw")
