@@ -245,12 +245,7 @@ def main():
     pts, valid = make_points(b)
     # correctness vs v0 first (on 4 frames)
     # Recorded results (TPU v5e, batch 128, per-frame ms):
-    #   v0 0.689  v1 0.535  v2 2.943  v3 67.26  v4 63.51
-    #   probe_sort1 0.060  probe_sort2 0.049  probe_ssearch 63.25
-    # -> the SORT is ~10% of v1; the two scatters dominate. searchsorted
-    #    (15 rounds of 369k-wide gathers) is catastrophically slow on TPU.
-    # Recorded results (TPU v5e, batch 128, per-frame ms):
-    #   v0 0.689  v1 0.535  v2 2.943  v3 67.26  v4 63.51  v5 2.967
+    #   v0 0.689  v1 0.535  v2 2.943  v3 67.26  v4 63.51  v5 2.967  v6 0.301
     #   probe_sort1 0.060  probe_sort2 0.049  probe_ssearch 63.25
     # -> the SORT is ~10% of v1; the two scalar scatters dominate.
     #    searchsorted (gathers at CELL granularity, 369k-wide) and any

@@ -65,6 +65,7 @@ def main(argv=None):
         out = detect_frames(
             model, variables, sample.points[None], sample.valid[None],
             K=args.K, peak_thresh=args.peak_thresh,
+            return_heads=bool(args.save_test_output),
         )
         # fetch forces completion; this is the whole-frame latency
         boxes_bev = np.asarray(out["boxes_bev"])[0]
@@ -112,7 +113,9 @@ def main(argv=None):
                 os.path.join(viz_dir, f"{sample.sample_id:06d}_raw_bev.jpg"),
                 cv2.resize(bev_map_to_image(bev), (cnf.BEV_WIDTH, cnf.BEV_HEIGHT)),
             )
-            heads = model.apply(variables, jnp.asarray(bev[None]), train=False)
+            # head tensors come from the SAME forward as the detections
+            # (return_heads above) — no second model.apply
+            heads = out["heads"]
             hm_raw = np.asarray(heads["hm_cen"].astype(jnp.float32))[0]  # (H, W, C)
             hm_sig = np.asarray(clamped_sigmoid(heads["hm_cen"]))[0]
             for cls_id in range(hm_raw.shape[-1]):

@@ -169,11 +169,16 @@ def main(argv=None):
             if tb_writer is not None:
                 tb_writer.add_scalar("Val_loss", val_loss, epoch)
 
-        if epoch % configs.runtime.checkpoint_freq == 0 and is_chief:
+        if epoch % configs.runtime.checkpoint_freq == 0:
+            # EVERY process must enter the save: Orbax serialization of
+            # replicated global jax.Arrays is a collective across hosts
+            # (chief-only would deadlock a multi-host run). Orbax itself
+            # writes once per shard; only the log line is chief-gated.
             path = save_checkpoint(
                 configs.checkpoints_dir, configs.runtime.saved_fn, state, epoch
             )
-            logger.info(f"save a checkpoint at {path}")
+            if is_chief:
+                logger.info(f"save a checkpoint at {path}")
 
     profile.close()
     if tb_writer is not None:

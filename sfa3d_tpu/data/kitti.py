@@ -155,7 +155,22 @@ class KittiDataset:
         self.hflip_prob = hflip_prob or 0.0
         self.max_points = max_points
         self.max_objects = max_objects
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Reseed augmentation per epoch (DistributedSampler.set_epoch
+        analog for the sample-level rng); forwarded by the loader."""
+        self.epoch = int(epoch)
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        """Per-(seed, epoch, sample) generator: np.random.Generator is NOT
+        thread-safe, and the async loader's worker threads call __getitem__
+        concurrently — a shared generator would race and make the
+        augmentation stream completion-order-dependent. A fresh
+        deterministic generator per call is both thread-safe and identical
+        between the sync and async paths."""
+        return np.random.default_rng((self.seed, self.epoch, index))
 
     def __len__(self):
         return len(self.sample_id_list)
@@ -220,12 +235,13 @@ class KittiDataset:
             labels = np.zeros((0, 8), np.float32)
             levels = np.zeros((0,), np.int32)
 
+        rng = self._sample_rng(index)
         # augmentation needs the raw (unfiltered) cloud; otherwise the fused
         # native read+filter+pad path skips materializing it entirely
         do_aug = self.lidar_aug is not None and len(labels)
         if do_aug:
             points = self.get_lidar(sample_id)
-            points, boxes = self.lidar_aug(points, labels[:, 1:], self.rng)
+            points, boxes = self.lidar_aug(points, labels[:, 1:], rng)
             labels = np.concatenate([labels[:, :1], np.asarray(boxes, np.float32)], axis=1)
 
         # label boundary filter (get_filtered_lidar, kitti_data_utils.py:243-249)
@@ -238,7 +254,7 @@ class KittiDataset:
             labels = labels[m]
             levels = levels[m]
 
-        hflipped = bool(self.rng.random() < self.hflip_prob)
+        hflipped = bool(rng.random() < self.hflip_prob)
         if do_aug:
             pts, valid = self._pad_points(points)
         else:

@@ -124,6 +124,8 @@ class KittiTrainLoader:
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # per-sample augmentation rng
 
     def _iter_samples(self):
         """Raw samples in sampler order; pooled reads when num_workers > 0,

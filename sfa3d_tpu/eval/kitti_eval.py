@@ -94,31 +94,57 @@ def evaluate_kitti_ap(
 
     Returns {'AP_<cls>': ap, ..., 'mAP': mean}.
     """
+    matches = _collect_matches(
+        detections, ground_truths, num_classes, metric,
+        iou_thresholds or CLASS_IOU_THRESH,
+    )
+    return _score_bucket(matches, num_classes, difficulty)
+
+
+def _collect_matches(detections, ground_truths, num_classes, metric,
+                     iou_thresholds):
+    """Run the (device-IoU) greedy matching ONCE per (frame, class) — the
+    difficulty buckets only change which GT are countable, so all four AP
+    tables re-score the same matches."""
     assert len(detections) == len(ground_truths)
-    iou_thresholds = iou_thresholds or CLASS_IOU_THRESH
+    per_class: Dict[int, List] = {cls: [] for cls in range(num_classes)}
+    for det, gt in zip(detections, ground_truths):
+        det_classes = np.asarray(det["classes"])
+        gt_classes = np.asarray(gt["classes"])
+        levels_all = np.asarray(gt["difficulty"]) if "difficulty" in gt else None
+        for cls in range(num_classes):
+            dm = det_classes == cls
+            gm = gt_classes == cls
+            det_scores = np.asarray(det["scores"], np.float32)[dm]
+            gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
+            match = _match_frame(
+                np.asarray(det["boxes"], np.float32)[dm], det_scores,
+                gt_boxes, iou_thresholds[cls], metric,
+            )
+            levels = levels_all[gm] if levels_all is not None else None
+            per_class[cls].append((det_scores, match, len(gt_boxes), levels))
+    return per_class
+
+
+def _score_bucket(per_class, num_classes, difficulty):
     results = {}
     aps = []
     for cls in range(num_classes):
         scores_all: List[np.ndarray] = []
         tp_all: List[np.ndarray] = []
         n_gt = 0
-        for det, gt in zip(detections, ground_truths):
-            dm = np.asarray(det["classes"]) == cls
-            gm = np.asarray(gt["classes"]) == cls
-            det_boxes = np.asarray(det["boxes"], np.float32)[dm]
-            det_scores = np.asarray(det["scores"], np.float32)[dm]
-            gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
-            if difficulty is not None and "difficulty" in gt:
-                countable = np.asarray(gt["difficulty"])[gm] <= difficulty
+        for det_scores, match, ng, levels in per_class[cls]:
+            if difficulty is not None and levels is not None:
+                countable = levels <= difficulty
             else:
-                countable = np.ones(len(gt_boxes), bool)
+                countable = np.ones(ng, bool)
             n_gt += int(countable.sum())
-            match = _match_frame(
-                det_boxes, det_scores, gt_boxes, iou_thresholds[cls], metric
-            )
-            # detections matched to an out-of-bucket GT are dropped from the
-            # PR curve entirely (KITTI "ignored": not FP, not TP)
-            ignored = (match >= 0) & ~countable[np.maximum(match, 0)]
+            if ng:
+                # detections matched to an out-of-bucket GT are dropped from
+                # the PR curve entirely (KITTI "ignored": not FP, not TP)
+                ignored = (match >= 0) & ~countable[np.maximum(match, 0)]
+            else:
+                ignored = np.zeros(len(match), bool)  # all unmatched -> FP
             scores_all.append(det_scores[~ignored])
             tp_all.append((match >= 0)[~ignored])
         scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
@@ -141,13 +167,18 @@ def evaluate_kitti_ap(
 def evaluate_kitti_ap_by_difficulty(
     detections: Sequence[Dict],
     ground_truths: Sequence[Dict],
-    **kw,
+    num_classes: int = 3,
+    metric: str = "3d",
+    iou_thresholds: Optional[Dict[int, float]] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Easy/Moderate/Hard AP table — the shape of the reference's published
-    results (/root/reference/README.md:223-226)."""
+    results (/root/reference/README.md:223-226). Matching runs once; the
+    three buckets re-score the same matches."""
+    matches = _collect_matches(
+        detections, ground_truths, num_classes, metric,
+        iou_thresholds or CLASS_IOU_THRESH,
+    )
     return {
-        name: evaluate_kitti_ap(
-            detections, ground_truths, difficulty=level, **kw
-        )
+        name: _score_bucket(matches, num_classes, level)
         for level, name in DIFFICULTY_NAMES.items()
     }

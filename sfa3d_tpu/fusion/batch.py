@@ -129,6 +129,10 @@ def build_fused_pipeline(
       boxes_real (B, K, 8) metric 3D rows + mask_3d (B, K)  (SFA3D branch)
     `source`: 0 = YOLO pass-through, 1 = SFA3D pass-through, 2 = fused.
     """
+    if mode not in ("nms", "weighted", "bayesian"):
+        # match the host path's behavior (fusion/pipeline.py FUSION_MODES):
+        # an unknown strategy must fail loudly, not silently run bayesian
+        raise ValueError(f"unknown fusion mode: {mode!r}")
     fuse_one = functools.partial(
         _fuse_one,
         mode=mode,

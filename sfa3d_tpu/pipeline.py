@@ -24,7 +24,9 @@ def forward_heads(model, variables, bev: jax.Array, train: bool = False):
     return model.apply(variables, bev, train=train)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "K", "peak_thresh"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "K", "peak_thresh", "return_heads")
+)
 def detect_frames(
     model,
     variables,
@@ -33,12 +35,15 @@ def detect_frames(
     *,
     K: int = 50,
     peak_thresh: float = 0.2,
+    return_heads: bool = False,
 ) -> Dict[str, jax.Array]:
     """Raw padded scans -> detections, fully on device.
 
     Args:
       points: (B, N, 4) float32 velodyne scans (unfiltered, unshifted z).
       valid:  (B, N) bool padding mask.
+      return_heads: also return the raw head dict (e.g. for the staged
+        heatmap dumps) so visualization never pays a second forward.
 
     Returns dict with:
       bev:        (B, 608, 608, 3) raster (for visualization reuse)
@@ -46,6 +51,7 @@ def detect_frames(
       boxes_bev:  (B, K, 9)  [cls, score, x, y, z, h, w, l, yaw] BEV pixels
       boxes_real: (B, K, 8)  [cls, x, y, z, h, w, l, yaw] metric velodyne
       mask:       (B, K) bool validity (score > peak_thresh)
+      heads:      raw head dict (only when return_heads)
     """
     bev = jax.vmap(lambda p, v: points_to_bev(p, v))(points, valid)
     outputs = model.apply(variables, bev, train=False)
@@ -59,13 +65,16 @@ def detect_frames(
     )
     boxes_bev, mask = post_processing(dets, peak_thresh=peak_thresh)
     boxes_real, mask = detections_to_real(boxes_bev, mask)
-    return {
+    out = {
         "bev": bev,
         "detections": dets,
         "boxes_bev": boxes_bev,
         "boxes_real": boxes_real,
         "mask": mask,
     }
+    if return_heads:
+        out["heads"] = outputs
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("model", "K", "peak_thresh"))

@@ -48,6 +48,10 @@ class BatchingDetectorServer:
         self.max_delay_s = max_delay_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # serializes submit()'s (check stopped, enqueue) against stop()'s
+        # (mark stopped, final drain): without it a submit racing stop could
+        # enqueue after the drain and leave its Future unresolved forever
+        self._submit_lock = threading.Lock()
         # served = requests answered; batches = device calls;
         # padded = zero frames added to reach the bucket size
         self.stats: Dict[str, int] = {"served": 0, "batches": 0, "padded": 0}
@@ -61,13 +65,17 @@ class BatchingDetectorServer:
         """(N, 4) raw velodyne scan -> Future of a detection-dict list."""
         from sfa3d_tpu.ops.bev import filter_and_pad_points
 
-        if self._stop.is_set():
-            raise RuntimeError("server stopped")
         pts, valid = filter_and_pad_points(
             points, max_points=cnf.MAX_POINTS_FILTERED
         )
+        return self._enqueue(pts, valid)
+
+    def _enqueue(self, pts, valid) -> Future:
         fut: Future = Future()
-        self._q.put((pts, valid, fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server stopped")
+            self._q.put((pts, valid, fut))
         return fut
 
     def submit_file(self, velodyne_bin: str) -> Future:
@@ -77,25 +85,27 @@ class BatchingDetectorServer:
             velodyne_bin, cnf.MAX_POINTS_FILTERED, cnf.boundary
         )
         if res is not None:
-            fut: Future = Future()
-            self._q.put((res[0], res[1], fut))
-            return fut
+            return self._enqueue(res[0], res[1])
         points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)
         return self.submit(points)
 
     def stop(self, timeout: float = 30.0):
-        """Drain in-flight work, then stop the dispatch thread."""
+        """Drain in-flight work, then stop the dispatch thread. If the
+        dispatch thread fails to retire within `timeout` (e.g. a compile in
+        flight), remaining requests are cancelled rather than left hanging."""
         self._q.put(None)  # sentinel: finish everything queued before it
         self._thread.join(timeout=timeout)
-        self._stop.set()
-        # anything enqueued after the sentinel is cancelled
-        while True:
-            try:
-                item = self._q.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item[2].cancel()
+        with self._submit_lock:
+            self._stop.set()
+            # anything enqueued after the sentinel (or still queued after a
+            # join timeout) is cancelled, never left unresolved
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item[2].cancel()
 
     # -- dispatch thread ---------------------------------------------------
     def _loop(self):

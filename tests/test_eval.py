@@ -162,3 +162,37 @@ def _expected_recall_ap(tp, n_gt):
     """AP_R40 for a single clean TP out of n_gt (precision 1 up to recall
     tp/n_gt, 0 beyond)."""
     return sum(1.0 for r in np.linspace(0.025, 1.0, 40) if r <= tp / n_gt) / 40.0
+
+
+def test_detection_with_zero_gt_of_class_is_fp_not_crash():
+    """Regression: a frame with >=1 detection of a class but ZERO ground
+    truths of that class must count the detection as a false positive (it
+    used to IndexError on the empty countable mask)."""
+    from sfa3d_tpu.eval.kitti_eval import (
+        evaluate_kitti_ap,
+        evaluate_kitti_ap_by_difficulty,
+    )
+
+    box = np.asarray([[10.0, 0.0, -1.0, 1.5, 1.6, 3.9, 0.0]], np.float32)
+    dets = [{"boxes": box, "scores": np.asarray([0.9]), "classes": np.asarray([2])}]
+    gts = [{
+        "boxes": box, "classes": np.asarray([1]),  # only a Car GT
+        "difficulty": np.asarray([1]),
+    }]
+    res = evaluate_kitti_ap(dets, gts)
+    assert res["AP_1"] == 0.0  # the Car GT is missed (only a Cyclist det)
+    assert "AP_2" not in res  # no Cyclist GT anywhere -> class skipped
+    table = evaluate_kitti_ap_by_difficulty(dets, gts)
+    assert table["Easy"]["AP_1"] == 0.0
+
+    # same frame but WITH a Cyclist GT elsewhere: the unmatched Cyclist
+    # detection must now depress Cyclist AP as an FP
+    far = box.copy()
+    far[0, 0] = 40.0
+    gts2 = [{
+        "boxes": np.concatenate([box, far]),
+        "classes": np.asarray([1, 2]),
+        "difficulty": np.asarray([1, 1]),
+    }]
+    res2 = evaluate_kitti_ap(dets, gts2)
+    assert res2["AP_2"] == 0.0  # detection is at the Car's pose, not the bike's

@@ -170,3 +170,55 @@ def test_uint16_point_format_matches_float32():
     )
     d = np.abs(np.asarray(b16[0]["bev"])[0] - np.asarray(direct))
     assert d.max() <= 1.3e-4 and (d > 0).sum() <= 4, (d.max(), (d > 0).sum())
+
+
+def test_async_with_augmentation_identical_to_sync(tmp_path):
+    """Regression for the shared-rng race: with real augmentation drawing
+    random numbers inside __getitem__, 4 worker threads must produce the
+    SAME batches as the synchronous path (per-sample rng is derived from
+    (seed, epoch, index), not from a shared generator)."""
+    from sfa3d_tpu.data.augment import default_train_aug
+    from sfa3d_tpu.data.kitti import KittiDataset
+    from sfa3d_tpu.data.loader import KittiTrainLoader
+    from sfa3d_tpu.data.synthetic import write_mini_kitti
+
+    root = write_mini_kitti(str(tmp_path / "kitti"), n_frames=4)
+
+    def mk(num_workers):
+        ds = KittiDataset(
+            root, mode="train",
+            lidar_aug=default_train_aug(1.0, np.pi / 4, (0.95, 1.05)),
+            hflip_prob=0.5, seed=3,
+        )
+        return KittiTrainLoader(
+            ds, batch_size=2, subdivisions=1, seed=3, num_workers=num_workers,
+            prepare_fn=_prepare_stub,
+        )
+
+    for epoch in (1, 2):
+        sync_l, async_l = mk(0), mk(4)
+        sync_l.set_epoch(epoch)
+        async_l.set_epoch(epoch)
+        sync_b = list(iter(sync_l))
+        async_b = list(iter(async_l))
+        assert len(sync_b) == len(async_b) == 2
+        for a, b in zip(sync_b, async_b):
+            np.testing.assert_array_equal(
+                np.asarray(a["bev"]), np.asarray(b["bev"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a["targets"]["labels"]),
+                np.asarray(b["targets"]["labels"]),
+            )
+
+    # different epochs draw different augmentations for the same sample
+    from sfa3d_tpu.data.kitti import KittiDataset as _KD
+
+    ds = _KD(root, mode="train",
+             lidar_aug=default_train_aug(1.0, np.pi / 4, (0.95, 1.05)),
+             hflip_prob=0.0, seed=3)
+    ds.set_epoch(1)
+    s1 = ds[0]
+    ds.set_epoch(2)
+    s2 = ds[0]
+    assert not np.array_equal(s1.points, s2.points)
