@@ -101,3 +101,33 @@ def test_tcp_server_roundtrip(tmp_path, detector, scans):
     finally:
         proc.terminate()
         proc.wait(timeout=60)
+
+
+def test_fused_server_matches_direct_detect(scans):
+    """The fused (camera+LiDAR) server output equals FusedDetector.detect
+    for the same frames, with requests coalescing into one device batch."""
+    from sfa3d_tpu.detector import FusedDetector
+    from sfa3d_tpu.geometry.calibration import KittiCalibration
+    from sfa3d_tpu.runtime.serving import BatchingFusedServer
+
+    fd = FusedDetector(confidence_threshold=0.0, peak_thresh=0.0)
+    calib = KittiCalibration(None)
+    rng = np.random.default_rng(7)
+    imgs = [rng.uniform(0, 1, (375, 1242, 3)).astype(np.float32) for _ in range(3)]
+
+    server = BatchingFusedServer(fd, max_batch=4, max_delay_ms=500.0)
+    try:
+        futs = [server.submit_fused(s, im, calib)
+                for s, im in zip(scans[:3], imgs)]
+        got = [f.result(timeout=900) for f in futs]
+        assert server.stats["batches"] == 1  # all three shared one batch
+    finally:
+        server.stop()
+
+    for g, s, im in zip(got, scans[:3], imgs):
+        want = fd.detect(s, im, calib)
+        assert len(g["boxes"]) == len(want["boxes"])
+        if len(g["boxes"]):
+            assert np.abs(g["boxes"] - want["boxes"]).max() <= 1
+            np.testing.assert_allclose(g["scores"], want["scores"], atol=1e-4)
+            np.testing.assert_array_equal(g["classes"], want["classes"])
