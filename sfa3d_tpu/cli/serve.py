@@ -8,6 +8,14 @@ Protocol (one JSON object per line):
              l, yaw, class_id}, ...]}
   error:    {"id": <any>, "error": "..."}
 
+With --fused the server runs the full camera-LiDAR fusion pipeline
+(reference test6 flow) and requests carry the camera frame + calibration:
+  request:  {"id": <any>, "lidar": "scan.bin", "image": "frame.png",
+             "calib": "calib.txt"}   (calib omitted -> dataset-mean)
+  response: {"id": <any>, "fused": {"boxes": [[x,y,w,h],...], "scores":
+             [...], "classes": [...], "source": [...]},
+             "boxes_3d": [[cls,x,y,z,h,w,l,yaw], ...]}
+
 TCP mode (--port) accepts many concurrent connections; requests from all
 clients coalesce into shared device batches. Capability beyond the
 reference (it ships no serving layer — SURVEY.md §1).
@@ -22,6 +30,7 @@ import argparse
 import json
 import sys
 import threading
+from concurrent.futures import Future
 
 
 def _parse(argv):
@@ -40,16 +49,64 @@ def _parse(argv):
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="force a jax platform (the axon plugin ignores "
                         "JAX_PLATFORMS; this uses the config flag, which wins)")
+    p.add_argument("--fused", action="store_true",
+                   help="serve the full camera-LiDAR fusion pipeline")
+    p.add_argument("--yolo_checkpoint", default=None,
+                   help="ultralytics .pt for the fused 2D branch")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile every batch bucket before accepting traffic")
     return p.parse_args(argv)
 
 
 def _submit(server, req):
+    from sfa3d_tpu.runtime.serving import BatchingFusedServer
+
+    if isinstance(server, BatchingFusedServer):
+        return _submit_fused(server, req)
     if "lidar" in req:
         return server.submit_file(req["lidar"])
     import numpy as np
 
     pts = np.asarray(req["points"], np.float32).reshape(-1, 4)
     return server.submit(pts)
+
+
+def _submit_fused(server, req):
+    import cv2
+    import numpy as np
+
+    from sfa3d_tpu.geometry.calibration import KittiCalibration
+
+    if "lidar" in req:
+        pts = np.fromfile(req["lidar"], dtype=np.float32).reshape(-1, 4)
+    else:
+        pts = np.asarray(req["points"], np.float32).reshape(-1, 4)
+    img_bgr = cv2.imread(req["image"])
+    if img_bgr is None:
+        raise FileNotFoundError(f"image not readable: {req['image']}")
+    img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    calib = KittiCalibration(req.get("calib"))
+    fut = server.submit_fused(pts, img, calib)
+    # re-shape the resolved dict into the wire format
+    wire: Future = Future()
+
+    def relay(f):
+        try:
+            r = f.result()
+            wire.set_result({
+                "fused": {
+                    "boxes": r["boxes"].tolist(),
+                    "scores": np.round(r["scores"], 6).tolist(),
+                    "classes": r["classes"].tolist(),
+                    "source": r["source"].tolist(),
+                },
+                "boxes_3d": np.round(r["boxes_3d"], 6).tolist(),
+            })
+        except BaseException as e:
+            wire.set_exception(e)
+
+    fut.add_done_callback(relay)
+    return wire
 
 
 def _handle_stream(server, rfile, wfile, lock=None):
@@ -94,7 +151,12 @@ def _reply(wfile, rid, fut_or_err, lock=None):
         msg = {"id": rid, "error": str(fut_or_err)}
     else:
         try:
-            msg = {"id": rid, "detections": fut_or_err.result()}
+            res = fut_or_err.result()
+            # fused results arrive pre-shaped for the wire ({"fused": ...});
+            # the LiDAR-only path returns the detection list
+            msg = {"id": rid, **res} if isinstance(res, dict) else {
+                "id": rid, "detections": res
+            }
         except Exception as e:
             msg = {"id": rid, "error": str(e)}
     data = json.dumps(msg) + "\n"
@@ -114,14 +176,29 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    from sfa3d_tpu.detector import Detector
-    from sfa3d_tpu.runtime.serving import BatchingDetectorServer
-
-    det = Detector(arch=args.arch, checkpoint=args.pretrained_path,
-                   K=args.K, peak_thresh=args.peak_thresh, dtype=args.dtype)
-    server = BatchingDetectorServer(
-        det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+    from sfa3d_tpu.detector import Detector, FusedDetector
+    from sfa3d_tpu.runtime.serving import (
+        BatchingDetectorServer,
+        BatchingFusedServer,
     )
+
+    if args.fused:
+        fd = FusedDetector(
+            arch=args.arch, checkpoint=args.pretrained_path,
+            yolo_checkpoint=args.yolo_checkpoint, K=args.K,
+            peak_thresh=args.peak_thresh, dtype=args.dtype,
+        )
+        server = BatchingFusedServer(
+            fd, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+        )
+    else:
+        det = Detector(arch=args.arch, checkpoint=args.pretrained_path,
+                       K=args.K, peak_thresh=args.peak_thresh, dtype=args.dtype)
+        server = BatchingDetectorServer(
+            det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+        )
+    if args.warmup:
+        server.warmup()
 
     if args.port is None:
         _handle_stream(server, sys.stdin, sys.stdout)

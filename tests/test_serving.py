@@ -131,3 +131,53 @@ def test_fused_server_matches_direct_detect(scans):
             assert np.abs(g["boxes"] - want["boxes"]).max() <= 1
             np.testing.assert_allclose(g["scores"], want["scores"], atol=1e-4)
             np.testing.assert_array_equal(g["classes"], want["classes"])
+
+
+def test_tcp_fused_protocol(tmp_path, scans):
+    """cli serve --fused: lidar+image+calib request -> fused wire format."""
+    import cv2
+
+    scans[0].astype(np.float32).tofile(tmp_path / "scan.bin")
+    rng = np.random.default_rng(1)
+    cv2.imwrite(
+        str(tmp_path / "frame.png"),
+        rng.integers(0, 255, (375, 1242, 3)).astype(np.uint8),
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sfa3d_tpu.cli", "serve", "--port", "0",
+         "--fused", "--peak_thresh", "0.0", "--max_delay_ms", "5",
+         "--platform", "cpu"],
+        stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        port = None
+        for line in proc.stderr:
+            if line.startswith("serving on "):
+                port = int(line.strip().rsplit(":", 1)[1])
+                break
+        assert port, "server never announced its port"
+        import threading
+
+        threading.Thread(
+            target=lambda: [None for _ in proc.stderr], daemon=True
+        ).start()
+        with socket.create_connection(("127.0.0.1", port), timeout=600) as conn:
+            conn.settimeout(600)
+            f = conn.makefile("rw")
+            f.write(json.dumps({
+                "id": "a", "lidar": str(tmp_path / "scan.bin"),
+                "image": str(tmp_path / "frame.png"),
+            }) + "\n")
+            f.write(json.dumps({"id": "b", "lidar": str(tmp_path / "scan.bin"),
+                                "image": "/nope.png"}) + "\n")
+            f.flush()
+            replies = [json.loads(f.readline()) for _ in range(2)]
+        by_id = {r["id"]: r for r in replies}
+        assert "fused" in by_id["a"] and "boxes_3d" in by_id["a"]
+        fused = by_id["a"]["fused"]
+        assert set(fused) == {"boxes", "scores", "classes", "source"}
+        assert len(fused["boxes"]) == len(fused["scores"])
+        assert "error" in by_id["b"] and "nope" in by_id["b"]["error"]
+    finally:
+        proc.terminate()
+        proc.wait(timeout=60)
