@@ -36,7 +36,12 @@ def main(argv=None):
     # device set in jax.devices()
     distributed = maybe_init_distributed()
     from sfa3d_tpu.pipeline import init_detector
-    from sfa3d_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+    from sfa3d_tpu.runtime.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        prune_checkpoints,
+        save_checkpoint,
+    )
     from sfa3d_tpu.runtime.logger import AverageMeter, Logger, ProgressMeter, create_tb_writer
     from sfa3d_tpu.runtime.schedules import create_lr_schedule, create_optimizer
     from sfa3d_tpu.models import load_variables
@@ -98,10 +103,19 @@ def main(argv=None):
 
     state = create_train_state(model, variables, tx)
     start_epoch = configs.runtime.start_epoch
-    if configs.runtime.resume_path:
-        state, epoch = load_checkpoint(configs.runtime.resume_path, state)
+    resume_path = configs.runtime.resume_path
+    if not resume_path and configs.runtime.auto_resume:
+        # failure recovery = checkpoint + re-launch (SURVEY.md section 5),
+        # with the re-launch's resume automated
+        resume_path = latest_checkpoint(
+            configs.checkpoints_dir, configs.runtime.saved_fn
+        )
+        if resume_path:
+            logger.info(f"auto_resume found {resume_path}")
+    if resume_path:
+        state, epoch = load_checkpoint(resume_path, state)
         start_epoch = epoch + 1
-        logger.info(f"resumed from {configs.runtime.resume_path} at epoch {epoch}")
+        logger.info(f"resumed from {resume_path} at epoch {epoch}")
     state = replicate(mesh, state)
 
     train_step = make_train_step(model, tx, mesh)
@@ -179,6 +193,10 @@ def main(argv=None):
             )
             if is_chief:
                 logger.info(f"save a checkpoint at {path}")
+                prune_checkpoints(
+                    configs.checkpoints_dir, configs.runtime.saved_fn,
+                    configs.runtime.keep_checkpoints,
+                )
 
     profile.close()
     if tb_writer is not None:

@@ -100,6 +100,12 @@ class RuntimeConfig:
     evaluate: bool = False
     pretrained_path: Optional[str] = None
     resume_path: Optional[str] = None
+    # resume from the newest checkpoint in checkpoints_dir automatically
+    # (failure recovery = checkpoint + re-launch, with the re-launch's
+    # resume automated); keep_checkpoints caps retained epoch checkpoints
+    # (0 = keep all, the reference behavior)
+    auto_resume: bool = False
+    keep_checkpoints: int = 0
     # TPU mesh: data-parallel axis size; None = all local devices.
     mesh_shape: Optional[int] = None
     # jax.profiler trace directory (SURVEY.md section 5 profiling hook);
@@ -177,6 +183,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the train loop")
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--resume_path", type=str, default=None, metavar="PATH")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the newest checkpoint in checkpoints_dir")
+    p.add_argument("--keep_checkpoints", type=int, default=0, metavar="N",
+                   help="retain only the newest N epoch checkpoints (0 = all)")
     p.add_argument("--K", type=int, default=50)
     p.add_argument("--peak_thresh", type=float, default=0.2)
     p.add_argument("--dataset", type=str, default="kitti", choices=["kitti", "argoverse"])
@@ -232,6 +242,8 @@ def parse_train_configs(argv=None) -> TrainConfig:
             evaluate=args.evaluate,
             pretrained_path=args.pretrained_path,
             resume_path=args.resume_path,
+            auto_resume=args.auto_resume,
+            keep_checkpoints=args.keep_checkpoints,
             mesh_shape=args.mesh_shape,
             profile_dir=args.profile_dir,
         ),

@@ -37,6 +37,24 @@ def save_checkpoint(checkpoints_dir: str, saved_fn: str, state: TrainState, epoc
     return path
 
 
+def prune_checkpoints(checkpoints_dir: str, saved_fn: str, keep_last: int):
+    """Delete all but the newest `keep_last` epoch checkpoints (the
+    reference keeps every epoch's .pth pair; production runs cap disk)."""
+    if keep_last <= 0:
+        return
+    import re
+    import shutil
+
+    prefix = f"Model_{saved_fn}_epoch_"
+    found = []
+    for name in os.listdir(checkpoints_dir):
+        m = re.fullmatch(re.escape(prefix) + r"(\d+)", name)
+        if m:
+            found.append((int(m.group(1)), name))
+    for _, name in sorted(found)[:-keep_last]:
+        shutil.rmtree(os.path.join(checkpoints_dir, name), ignore_errors=True)
+
+
 def load_checkpoint(path: str, template_state: TrainState, epoch_hint: int = 0):
     """Restore (state, epoch). `template_state` supplies the pytree structure
     and shardings (reference resume flow, train.py:111-132)."""

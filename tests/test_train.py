@@ -186,3 +186,42 @@ def test_range_finder_schedule():
     ratios = [b / a for a, b in zip(vals, vals[1:])]
     # log-spaced: constant multiplicative step
     assert all(r == pytest.approx(ratios[0], rel=1e-4) for r in ratios)
+
+
+def test_auto_resume_and_checkpoint_retention(tmp_path, rng):
+    """--auto_resume resumes from the newest checkpoint in the directory;
+    --keep_checkpoints prunes older epoch checkpoints after each save
+    (driving a full 608^2 CLI run on the CPU mesh is minutes-slow, so this
+    exercises the same latest/prune/load calls cli/train.py makes)."""
+    import os
+
+    from sfa3d_tpu.runtime.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+        prune_checkpoints,
+        save_checkpoint,
+    )
+
+    cfg = OptimConfig()
+    tx = create_optimizer(cfg, 10, 5)
+    model, state = _small_model_and_state(tx)
+    step = make_train_step(model, tx)
+
+    d = str(tmp_path / "ckpts")
+    os.makedirs(d)
+    assert latest_checkpoint(d, "ar") is None  # fresh run: nothing to resume
+    for epoch in (1, 2, 3):
+        state, _ = step(state, synthetic_batch(rng, b=2))
+        save_checkpoint(d, "ar", state, epoch)
+        prune_checkpoints(d, "ar", keep_last=2)
+    assert latest_checkpoint(d, "ar").endswith("epoch_3")
+    assert not os.path.exists(os.path.join(d, "Model_ar_epoch_1"))  # pruned
+    assert os.path.exists(os.path.join(d, "Model_ar_epoch_2"))
+
+    # the relaunch path: no resume_path given -> latest wins, epochs continue
+    _, fresh = _small_model_and_state(tx)
+    restored, epoch = load_checkpoint(latest_checkpoint(d, "ar"), fresh)
+    assert epoch == 3 and int(restored.step) == int(state.step)
+    # keep_last=0 keeps everything (reference behavior)
+    prune_checkpoints(d, "ar", keep_last=0)
+    assert os.path.exists(os.path.join(d, "Model_ar_epoch_2"))
