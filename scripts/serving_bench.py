@@ -44,7 +44,6 @@ def main():
     )
     server.warmup()  # compile every power-of-2 bucket before traffic
 
-    base_served = server.stats["served"]
     base_batches = server.stats["batches"]
     results = []
 

@@ -77,16 +77,17 @@ def _submit_fused(server, req):
 
     from sfa3d_tpu.geometry.calibration import KittiCalibration
 
-    if "lidar" in req:
-        pts = np.fromfile(req["lidar"], dtype=np.float32).reshape(-1, 4)
-    else:
-        pts = np.asarray(req["points"], np.float32).reshape(-1, 4)
     img_bgr = cv2.imread(req["image"])
     if img_bgr is None:
         raise FileNotFoundError(f"image not readable: {req['image']}")
-    img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    # 0-255 RGB: letterbox (models/yolov8.py:312-328) normalizes itself
+    img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
     calib = KittiCalibration(req.get("calib"))
-    fut = server.submit_fused(pts, img, calib)
+    if "lidar" in req:
+        fut = server.submit_fused_file(req["lidar"], img, calib)
+    else:
+        pts = np.asarray(req["points"], np.float32).reshape(-1, 4)
+        fut = server.submit_fused(pts, img, calib)
     # re-shape the resolved dict into the wire format
     wire: Future = Future()
 
@@ -197,10 +198,9 @@ def main(argv=None):
         server = BatchingDetectorServer(
             det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
         )
-    if args.warmup:
-        server.warmup()
-
     if args.port is None:
+        if args.warmup:
+            server.warmup()
         _handle_stream(server, sys.stdin, sys.stdout)
         server.stop()
         print(json.dumps({"stats": server.stats}), file=sys.stderr)
@@ -213,6 +213,10 @@ def main(argv=None):
     sock.bind((args.host, args.port))
     sock.listen(64)
     print(f"serving on {args.host}:{sock.getsockname()[1]}", file=sys.stderr, flush=True)
+    if args.warmup:
+        # bind first so early clients queue in the listen backlog instead of
+        # getting connection-refused while the buckets compile
+        server.warmup()
 
     def client(conn):
         with conn:

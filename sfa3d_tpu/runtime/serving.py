@@ -52,6 +52,9 @@ class BatchingDetectorServer:
         # (mark stopped, final drain): without it a submit racing stop could
         # enqueue after the drain and leave its Future unresolved forever
         self._submit_lock = threading.Lock()
+        # serializes warmup()'s device calls against the dispatch thread's
+        # (the single-dispatch-thread invariant above)
+        self._device_lock = threading.Lock()
         # served = requests answered; batches = device calls;
         # padded = zero frames added to reach the bucket size
         self.stats: Dict[str, int] = {"served": 0, "batches": 0, "padded": 0}
@@ -90,13 +93,21 @@ class BatchingDetectorServer:
         return self.submit(points)
 
     def warmup(self):
-        """Compile every power-of-2 bucket before traffic arrives — a
-        mid-traffic bucket compile stalls that batch for the full XLA
-        compile time (tens of seconds on a cold chip)."""
+        """Compile every runtime bucket (powers of two capped at max_batch,
+        plus max_batch itself when it is not a power of two) before traffic
+        arrives — a mid-traffic bucket compile stalls that batch for the
+        full XLA compile time (tens of seconds on a cold chip). Safe to
+        call while traffic flows: warm compiles serialize with dispatch on
+        the device lock."""
+        buckets = []
         b = 1
-        while b <= self.max_batch:
-            self._warm_bucket(b)
+        while b < self.max_batch:
+            buckets.append(b)
             b *= 2
+        buckets.append(self.max_batch)
+        for b in buckets:
+            with self._device_lock:
+                self._warm_bucket(b)
 
     def _warm_bucket(self, bucket: int):
         import jax.numpy as jnp
@@ -158,7 +169,8 @@ class BatchingDetectorServer:
                     break
                 batch.append(nxt)
             try:
-                self._run_batch(batch)
+                with self._device_lock:
+                    self._run_batch(batch)
             except BaseException as e:  # propagate to the callers
                 for _, _, fut in batch:
                     if not fut.done():
@@ -214,6 +226,25 @@ class BatchingFusedServer(BatchingDetectorServer):
     def submit(self, points):  # pragma: no cover - guard
         raise TypeError("BatchingFusedServer needs submit_fused(points, image, calib)")
 
+    def submit_file(self, velodyne_bin):  # pragma: no cover - guard
+        raise TypeError(
+            "BatchingFusedServer needs submit_fused_file(path, image, calib)"
+        )
+
+    def submit_fused_file(self, velodyne_bin: str, image_rgb: np.ndarray,
+                          calib) -> Future:
+        """Fused request from a .bin scan path — uses the native fused
+        read+filter+pad when built (the raw cloud is never materialized)."""
+        from sfa3d_tpu import native
+
+        res = native.read_velodyne_filtered(
+            velodyne_bin, cnf.MAX_POINTS_FILTERED, cnf.boundary
+        )
+        if res is None:
+            points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)
+            return self.submit_fused(points, image_rgb, calib)
+        return self._enqueue_fused(res[0], res[1], image_rgb, calib)
+
     def _warm_bucket(self, bucket: int):
         import jax.numpy as jnp
 
@@ -235,12 +266,18 @@ class BatchingFusedServer(BatchingDetectorServer):
 
     def submit_fused(self, points: np.ndarray, image_rgb: np.ndarray,
                      calib) -> Future:
-        from sfa3d_tpu.models.yolov8 import letterbox
+        """(N, 4) raw scan + 0-255 RGB image (letterbox normalizes) +
+        calibration -> Future of the FusedDetector.detect output dict."""
         from sfa3d_tpu.ops.bev import filter_and_pad_points
 
         pts, valid = filter_and_pad_points(
             points, max_points=cnf.MAX_POINTS_FILTERED
         )
+        return self._enqueue_fused(pts, valid, image_rgb, calib)
+
+    def _enqueue_fused(self, pts, valid, image_rgb, calib) -> Future:
+        from sfa3d_tpu.models.yolov8 import letterbox
+
         img, r, (pad_w, pad_h) = letterbox(image_rgb, self.fd.imgsz)
         h, w = image_rgb.shape[:2]
         req = dict(

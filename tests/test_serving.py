@@ -178,6 +178,21 @@ def test_tcp_fused_protocol(tmp_path, scans):
         assert set(fused) == {"boxes", "scores", "classes", "source"}
         assert len(fused["boxes"]) == len(fused["scores"])
         assert "error" in by_id["b"] and "nope" in by_id["b"]["error"]
+
+        # wire values must match a local FusedDetector on the SAME files —
+        # catches host-prep divergence (e.g. the double /255 image
+        # normalization this assertion was added for)
+        from sfa3d_tpu.detector import FusedDetector
+        from sfa3d_tpu.geometry.calibration import KittiCalibration
+
+        fd = FusedDetector(peak_thresh=0.0)
+        img = cv2.cvtColor(cv2.imread(str(tmp_path / "frame.png")),
+                           cv2.COLOR_BGR2RGB)
+        want = fd.detect(scans[0], img, KittiCalibration(None))
+        assert len(fused["boxes"]) == len(want["boxes"])
+        if len(want["boxes"]):
+            assert np.abs(np.asarray(fused["boxes"]) - want["boxes"]).max() <= 1
+            np.testing.assert_allclose(fused["scores"], want["scores"], atol=1e-4)
     finally:
         proc.terminate()
         proc.wait(timeout=60)
