@@ -37,6 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     import jax
@@ -51,9 +52,10 @@ def main():
     from bench import make_points
 
     b = args.batch
-    kfpn = create_model("fpn_resnet_18", dtype=jnp.bfloat16)
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    kfpn = create_model("fpn_resnet_18", dtype=dt)
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
-    yolo = YOLOv8(scale="n", dtype=jnp.bfloat16)
+    yolo = YOLOv8(scale="n", dtype=dt)
     yvars = yolo.init(jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3)), train=False)
 
     pts, valid = make_points(b)
@@ -128,6 +130,7 @@ def main():
     total = sum(per_frame.values())
     print(json.dumps({
         "batch": b,
+        "dtype": args.dtype,
         "per_frame_ms": {k: round(v, 4) for k, v in per_frame.items()},
         "sum_ms": round(total, 4),
         "sum_fps": round(1000.0 / total, 1),
