@@ -176,8 +176,8 @@ def v6(points, valid):
     key AND the running count == run length. Repack (qz13 | qr12 | cnt6)
     into 31 bits and segment_max once. cnt saturates at 63, where the
     density channel min(1, log(n+1)/log64) saturates at 1.0 anyway —
-    density stays bit-exact; height/intensity requantize to 1.2e-4/2.4e-4
-    resolution (parity budget 1e-3)."""
+    density stays bit-exact; height/intensity requantize to 6.1e-5/1.2e-4
+    resolution (13-bit/12-bit packing; parity budget 1e-3)."""
     cid, key, ok = common(points, valid)
     n = cid.shape[0]
     cid_s, key_s = jax.lax.sort((cid, key), num_keys=2)

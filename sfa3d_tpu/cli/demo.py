@@ -39,7 +39,12 @@ def main(argv=None):
     from sfa3d_tpu.data.kitti import DemoKittiDataset
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.ops.bev import points_to_bev
-    from sfa3d_tpu.viz.draw import bev_map_to_image, draw_predictions_bev, merge_rgb_to_bev
+    from sfa3d_tpu.viz.draw import (
+        bev_map_to_image,
+        draw_predictions_bev,
+        merge_rgb_to_bev,
+        write_credit,
+    )
 
     args = parse_args(argv)
     model = create_model(args.arch)
@@ -76,8 +81,13 @@ def main(argv=None):
             img_rgb = np.zeros((375, 1242, 3), np.uint8)
         bev_panel = cv2.vconcat(panels) if len(panels) > 1 else panels[0]
         out_img = merge_rgb_to_bev(img_rgb, bev_panel, output_width=args.output_width)
-        cv2.putText(out_img, f"FPS: {fps:.1f}", (10, 30),
-                    cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 255, 0), 2)
+        # credit + FPS overlay (demo_utils.py:130-137; call sites
+        # demo_front.py:81 / demo_2_sides.py:89 — positions scaled to our
+        # output width so the text stays on-frame)
+        y = min(210, out_img.shape[0] - 20)
+        write_credit(out_img, org_author=(10, y),
+                     text_author="Cre: github.com/maudzung",
+                     org_fps=(10, min(y + 40, out_img.shape[0] - 5)), fps=fps)
 
         if video_writer is None:
             fourcc = cv2.VideoWriter_fourcc(*"MJPG")

@@ -148,6 +148,8 @@ def _handle_stream(server, rfile, wfile, lock=None):
 
 
 def _reply(wfile, rid, fut_or_err, lock=None):
+    from concurrent.futures import CancelledError
+
     if isinstance(fut_or_err, Exception):
         msg = {"id": rid, "error": str(fut_or_err)}
     else:
@@ -158,6 +160,11 @@ def _reply(wfile, rid, fut_or_err, lock=None):
             msg = {"id": rid, **res} if isinstance(res, dict) else {
                 "id": rid, "detections": res
             }
+        except CancelledError:
+            # server.stop() cancels still-queued requests; CancelledError is a
+            # BaseException (py>=3.8), so a bare `except Exception` would kill
+            # the writer thread and silently drop every later reply
+            msg = {"id": rid, "error": "cancelled"}
         except Exception as e:
             msg = {"id": rid, "error": str(e)}
     data = json.dumps(msg) + "\n"

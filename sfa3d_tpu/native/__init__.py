@@ -43,10 +43,29 @@ def _cache_dir() -> str:
     return d
 
 
+def _host_tag() -> str:
+    """Host/CPU identifier mixed into the cache filename: the library is
+    built with -march=native, so a binary cached on a shared (e.g. NFS)
+    home by a newer CPU must not be silently reused on an older one
+    (SIGILL instead of the numpy fallback)."""
+    import platform
+
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    bits.append(line)
+                    break
+    except OSError:
+        bits.append(platform.processor() or platform.node())
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:8]
+
+
 def _build() -> Optional[ctypes.CDLL]:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"preproc_{digest}.so")
+    so_path = os.path.join(_cache_dir(), f"preproc_{digest}_{_host_tag()}.so")
     if not os.path.exists(so_path):
         # build into a temp file then atomically rename: concurrent loader
         # processes may race on first use
@@ -134,12 +153,28 @@ def filter_pad_points(
         return None  # unusual layout: let the numpy path handle/raise
     out = np.empty((max_points, 4), np.float32)
     valid = np.empty((max_points,), np.uint8)
-    lib.sfa_filter_pad(
+    kept = lib.sfa_filter_pad(
         _fptr(pts), pts.shape[0], _fptr(_bound_arr(boundary)),
         max_points, _fptr(out),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
+    _warn_on_overflow(kept, max_points)
     return out, valid.astype(bool)
+
+
+def _warn_on_overflow(kept: int, max_points: int) -> None:
+    """Truncation must never be silent (CLAUDE.md invariant): the kernels
+    return the TOTAL in-range count, which exceeds max_points when a scan
+    overflows the fixed point budget."""
+    if kept > max_points:
+        import warnings
+
+        warnings.warn(
+            f"scan has {kept} in-range points; keeping the first "
+            f"{max_points} (raise MAX_POINTS_FILTERED to keep all)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def read_velodyne_filtered(
@@ -159,4 +194,5 @@ def read_velodyne_filtered(
     )
     if kept < 0:
         return None
+    _warn_on_overflow(kept, max_points)
     return out, valid.astype(bool)

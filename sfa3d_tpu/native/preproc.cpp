@@ -25,7 +25,9 @@ extern "C" {
 // Filter + pad an in-memory (n, 4) float32 scan.
 // bound6 = {minX, maxX, minY, maxY, minZ, maxZ}.
 // out: (max_points, 4) float32 (caller-zeroed NOT required; fully written),
-// valid: (max_points,) uint8. Returns number of kept points (<= max_points).
+// valid: (max_points,) uint8. Returns the TOTAL number of in-range points
+// (may exceed max_points: only the first max_points are written, and the
+// caller warns on kept > max_points — truncation must never be silent).
 // Branchless filter-compaction core: every candidate row is written to the
 // current output slot unconditionally and the cursor advances by the 0/1
 // mask — in-range tests on real scans are data-dependent, so a branchy
@@ -37,11 +39,18 @@ static inline int64_t filter_rows(const float* pts, int64_t n,
     const float min_y = b[2], max_y = b[3];
     const float min_z = b[4], max_z = b[5];
     for (int64_t i = 0; i < n; ++i) {
-        if (kept >= max_points) break;  // predictable: taken once
         const float* p = pts + 4 * i;
         // NaN compares false -> excluded, matching the numpy path
         int m = (p[0] >= min_x) & (p[0] <= max_x) & (p[1] >= min_y) &
                 (p[1] <= max_y) & (p[2] >= min_z) & (p[2] <= max_z);
+        if (kept >= max_points) {  // overflow: count-only (predictable branch)
+            for (; i < n; ++i) {
+                p = pts + 4 * i;
+                kept += (p[0] >= min_x) & (p[0] <= max_x) & (p[1] >= min_y) &
+                        (p[1] <= max_y) & (p[2] >= min_z) & (p[2] <= max_z);
+            }
+            break;
+        }
         float* o = out + 4 * kept;
         o[0] = p[0]; o[1] = p[1]; o[2] = p[2]; o[3] = p[3];
         valid[kept] = 1;
@@ -52,6 +61,7 @@ static inline int64_t filter_rows(const float* pts, int64_t n,
 
 static inline void zero_tail(int64_t kept, int64_t max_points, float* out,
                              uint8_t* valid) {
+    if (kept > max_points) kept = max_points;  // kept counts overflow too
     std::memset(out + 4 * kept, 0, sizeof(float) * 4 * (size_t)(max_points - kept));
     std::memset(valid + kept, 0, (size_t)(max_points - kept));
 }
@@ -82,9 +92,16 @@ int64_t sfa_read_filter_pad(const char* path, const float* bound6,
                            valid);
         carry = total - 4 * n_pts;
         if (carry) std::memmove(buf, buf + 4 * n_pts, carry * sizeof(float));
-        if (kept >= max_points) break;
+        // no early break on a full buffer: the stream keeps getting scanned
+        // so the returned count covers overflow (caller warns on truncation)
     }
+    // fread returning 0 is EOF *or* error: a mid-file I/O error would
+    // otherwise yield a truncated-but-valid-looking scan (silent point
+    // loss). Report -1 so the caller falls back to the numpy path, which
+    // surfaces the error precisely.
+    int err = std::ferror(f);
     std::fclose(f);
+    if (err) return -1;
     zero_tail(kept, max_points, out, valid);
     return kept;
 }

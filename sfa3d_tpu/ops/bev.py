@@ -87,7 +87,17 @@ def _filter_and_pad_numpy(
         & (points[:, 2] >= boundary["minZ"])
         & (points[:, 2] <= boundary["maxZ"])
     )
-    kept = points[mask][:max_points]
+    in_range = points[mask]
+    if len(in_range) > max_points:
+        import warnings
+
+        warnings.warn(
+            f"scan has {len(in_range)} in-range points; keeping the first "
+            f"{max_points} (raise MAX_POINTS_FILTERED to keep all)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    kept = in_range[:max_points]
     out = np.zeros((max_points, 4), dtype=np.float32)
     out[: len(kept)] = kept
     valid = np.zeros((max_points,), dtype=bool)
@@ -237,7 +247,20 @@ def dequantize_points(q: jax.Array) -> jax.Array:
 
 
 def _pad_raw(points: np.ndarray, max_points: int = cnf.MAX_POINTS):
-    """Pad/truncate a raw scan without filtering (the device kernel filters)."""
+    """Pad/truncate a raw scan without filtering (the device kernel filters).
+    Truncation warns: a raw cloud above the budget silently losing points
+    violates the CLAUDE.md invariant (host-filter first via
+    filter_and_pad_points for full scans)."""
+    if len(points) > max_points:
+        import warnings
+
+        warnings.warn(
+            f"raw scan has {len(points)} points; truncating to {max_points} "
+            "— host-filter first (filter_and_pad_points) to keep all "
+            "in-range points",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     n = min(len(points), max_points)
     out = np.zeros((max_points, 4), dtype=np.float32)
     out[:n] = points[:n]

@@ -22,6 +22,7 @@ parallelizes across clients and stays off the dispatch thread.
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 import time
 from concurrent.futures import Future
@@ -58,6 +59,7 @@ class BatchingDetectorServer:
         # served = requests answered; batches = device calls;
         # padded = zero frames added to reach the bucket size
         self.stats: Dict[str, int] = {"served": 0, "batches": 0, "padded": 0}
+        self._warmed = False  # stop() widens its join budget when False
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name="serving-dispatch"
         )
@@ -108,6 +110,7 @@ class BatchingDetectorServer:
         for b in buckets:
             with self._device_lock:
                 self._warm_bucket(b)
+        self._warmed = True
 
     def _warm_bucket(self, bucket: int):
         import jax.numpy as jnp
@@ -124,16 +127,33 @@ class BatchingDetectorServer:
         )
         np.asarray(out["mask"])  # force compile + execute
 
-    def stop(self, timeout: float = 30.0):
+    def stop(self, timeout: Optional[float] = 30.0):
         """Drain in-flight work, then stop the dispatch thread. If the
         dispatch thread fails to retire within `timeout` (e.g. a compile in
-        flight), remaining requests are cancelled rather than left hanging."""
+        flight), remaining requests are cancelled rather than left hanging.
+
+        Compile interaction: a cold-bucket XLA compile on the tunneled chip
+        can take 5-10 MINUTES (CLAUDE.md), far past the 30 s default — a
+        stop during a first-request compile would cancel requests that were
+        about to succeed. Call `warmup()` before traffic, or pass
+        `timeout=None` to wait for the drain unconditionally. When no
+        warmup ran, an un-warmed stop waits one compile budget (600 s)
+        instead of 30 s."""
+        if timeout is not None and timeout == 30.0 and not self._warmed:
+            timeout = 600.0  # one cold-compile budget; see docstring
         self._q.put(None)  # sentinel: finish everything queued before it
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            print(
+                f"serving: dispatch thread still busy after {timeout}s "
+                "(compile in flight?); cancelling queued requests",
+                file=sys.stderr,
+            )
         with self._submit_lock:
             self._stop.set()
             # anything enqueued after the sentinel (or still queued after a
             # join timeout) is cancelled, never left unresolved
+            cancelled = 0
             while True:
                 try:
                     item = self._q.get_nowait()
@@ -141,6 +161,15 @@ class BatchingDetectorServer:
                     break
                 if item is not None:
                     item[2].cancel()
+                    cancelled += 1
+            if cancelled:
+                self.stats["cancelled"] = (
+                    self.stats.get("cancelled", 0) + cancelled
+                )
+                print(
+                    f"serving: cancelled {cancelled} queued request(s) at stop",
+                    file=sys.stderr,
+                )
 
     # -- dispatch thread ---------------------------------------------------
     def _loop(self):

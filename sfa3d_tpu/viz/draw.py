@@ -119,6 +119,18 @@ def bev_map_to_image(bev_hwc: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def write_credit(img, org_author=(500, 400), text_author="github.com/maudzung",
+                 org_fps=(50, 1000), fps=None):
+    """Credit + FPS text overlay on demo frames (demo_utils.py:130-137)."""
+    font, scale, color, thick = cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2
+    cv2.putText(img, text_author, org_author, font, scale, color, thick,
+                cv2.LINE_AA)
+    if fps is not None:
+        cv2.putText(img, "Speed: {:.1f} FPS".format(fps), org_fps, font,
+                    scale, color, thick, cv2.LINE_AA)
+    return img
+
+
 def draw_predictions_bev(bev_img: np.ndarray, boxes_bev: np.ndarray, mask: np.ndarray):
     """Draw decoded detections on the BEV image (draw_predictions,
     evaluation_utils.py:166-174). `boxes_bev` rows:

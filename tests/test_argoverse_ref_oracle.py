@@ -1,0 +1,158 @@
+"""Argoverse parity against the REFERENCE'S OWN code (not re-derived
+oracles): data_process/argoverse_data_utils_copy.py's makeBEVMap,
+get_filtered_lidar and ArgoverseCalibration execute directly from the
+reference tree on the mini-Argoverse fixture and must agree with
+ops.bev.argoverse_points_to_bev / geometry.argoverse_calib.
+
+The ONE documented divergence (geometry/argoverse_calib.py module
+docstring + docs/TECHNICAL.md): the reference's quat2rotmat
+(new_transform_utils.py:4-28) has a sign error in the [1][2] off-diagonal
+(2yz+2xw instead of 2yz-2xw). The calibration parity test pins the
+divergence to exactly that bug — with the reference's quat2rotmat swapped
+for the textbook form, the reference's own L2C chain matches ours.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests import ref_loader
+from sfa3d_tpu.geometry.argoverse_calib import ArgoverseCalibration
+from sfa3d_tpu.geometry.se3 import quat2rotmat as textbook_quat2rotmat
+from sfa3d_tpu.ops.bev import _filter_and_pad_numpy, argoverse_points_to_bev
+
+BOUND = {"minX": -50.0, "maxX": 50.0, "minY": -50.0, "maxY": 50.0,
+         "minZ": -3.0, "maxZ": 5.0}
+
+
+@pytest.fixture(scope="module")
+def ref_argo():
+    if not ref_loader.available():
+        pytest.skip("reference tree absent")
+    # trigger the /tmp/sfa copy, then make data_process's sibling-style
+    # imports (`from new_transform_utils import ...`) resolvable
+    ref_loader.load("config.argoverse_config")
+    dp = os.path.join(ref_loader.TMP, "data_process")
+    if dp not in sys.path:
+        sys.path.insert(0, dp)
+    return ref_loader.load("data_process.argoverse_data_utils_copy")
+
+
+@pytest.fixture(scope="module")
+def mini_argo(tmp_path_factory):
+    from sfa3d_tpu.data.argoverse import write_mini_argoverse
+
+    root = tmp_path_factory.mktemp("argo_oracle")
+    return write_mini_argoverse(str(root), n_frames=1)
+
+
+def _fixture_points(mini_argo):
+    lidar_dir = os.path.join(mini_argo, "samplefile", "lidar")
+    path = os.path.join(lidar_dir, sorted(os.listdir(lidar_dir))[0])
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
+
+
+def test_filtered_lidar_matches_reference_code(ref_argo, mini_argo):
+    """Same kept set as the reference's get_filtered_lidar
+    (argoverse_data_utils_copy.py:233-248)."""
+    pts = _fixture_points(mini_argo)
+    ref_kept = ref_argo.get_filtered_lidar(pts, BOUND)
+    out, valid = _filter_and_pad_numpy(pts, max(len(pts), 1), BOUND)
+    np.testing.assert_array_equal(out[valid], ref_kept)
+
+
+def test_make_bev_map_matches_reference_code(ref_argo, mini_argo):
+    """Segment-op raster vs the reference's per-point Python loop
+    (argoverse_data_utils_copy.py:251-302) executed directly, on the
+    fixture sweep. Channel order [density, height, intensity]; reference
+    output is cv2.normalize'd uint8, ours float [0, 255] — equal within the
+    1-count rounding of the uint8 cast."""
+    pts = _fixture_points(mini_argo)
+    ref_bev = ref_argo.makeBEVMap(pts, BOUND, 0.1)
+    assert ref_bev.dtype == np.uint8 and ref_bev.shape == (1000, 1000, 3)
+
+    padded = np.zeros((max(len(pts), 1), 4), np.float32)
+    padded[: len(pts)] = pts
+    valid = np.zeros((len(padded),), bool)
+    valid[: len(pts)] = True
+    ours = np.asarray(
+        argoverse_points_to_bev(jnp.asarray(padded), jnp.asarray(valid))
+    )
+    assert ours.shape == (1000, 1000, 3)
+    for c in range(3):
+        diff = np.abs(ours[..., c] - ref_bev[..., c].astype(np.float32))
+        assert diff.max() <= 1.0, (c, diff.max())
+
+
+def test_quat2rotmat_divergence_is_the_documented_bug(ref_argo):
+    """Reference quat2rotmat vs textbook: every entry equal EXCEPT [1][2],
+    where the reference computes 2yz+2xw instead of 2yz-2xw."""
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        ref_R = ref_argo.quat2rotmat(q)
+        our_R = textbook_quat2rotmat(q)
+        mask = np.ones((3, 3), bool)
+        mask[1, 2] = False
+        np.testing.assert_allclose(ref_R[mask], our_R[mask], atol=1e-12)
+        np.testing.assert_allclose(ref_R[1, 2], 2 * y * z + 2 * x * w, atol=1e-12)
+        np.testing.assert_allclose(our_R[1, 2], 2 * y * z - 2 * x * w, atol=1e-12)
+
+
+def test_calibration_matches_reference_code(ref_argo, mini_argo, monkeypatch):
+    """The reference's ArgoverseCalibration executed on the fixture JSON:
+    intrinsics match exactly; the full L2C chain matches once the
+    reference's buggy quat2rotmat is swapped for the textbook form
+    (pinning the only divergence to the documented bug)."""
+    json_path = os.path.join(mini_argo, "vehicle_calibration_info.json")
+    ours = ArgoverseCalibration(json_path)
+
+    ref_raw = ref_argo.ArgoverseCalibration(json_path)
+    np.testing.assert_allclose(ref_raw.P2, ours.P2, atol=1e-9)
+    # the fixture camera quaternion has 4xw != 0, so the raw reference L2C
+    # must DIVERGE from ours (the bug is live on this input) ...
+    assert np.abs(np.asarray(ref_raw.L2C) - ours.L2C).max() > 1e-3
+
+    # ... and with the textbook quat2rotmat substituted, the reference's own
+    # chain (inv(ego_T_cam-as-extrinsic) @ ego_T_lidar) equals ours
+    monkeypatch.setattr(ref_argo, "quat2rotmat", textbook_quat2rotmat)
+    ref_fixed = ref_argo.ArgoverseCalibration(json_path)
+    np.testing.assert_allclose(np.asarray(ref_fixed.L2C), ours.L2C, atol=1e-6)
+
+    # extrinsic relation: the reference labels ego_T_cam as its extrinsic;
+    # ours is camera_SE3_egovehicle = the inverse (module docstring)
+    np.testing.assert_allclose(
+        np.linalg.inv(ref_fixed.camera_config.extrinsic),
+        ours.camera_config.extrinsic,
+        atol=1e-6,
+    )
+
+
+def test_projection_matches_reference_code(ref_argo, mini_argo, monkeypatch):
+    """project_lidar_points_to_image parity (modulo the quat bug) on points
+    in front of the camera."""
+    monkeypatch.setattr(ref_argo, "quat2rotmat", textbook_quat2rotmat)
+    json_path = os.path.join(mini_argo, "vehicle_calibration_info.json")
+    ref_calib = ref_argo.ArgoverseCalibration(json_path)
+    ours = ArgoverseCalibration(json_path)
+
+    rng = np.random.default_rng(11)
+    pts = np.zeros((64, 3))
+    pts[:, 0] = rng.uniform(5, 40, 64)   # ahead
+    pts[:, 1] = rng.uniform(-5, 5, 64)
+    pts[:, 2] = rng.uniform(-1, 2, 64)
+
+    hom = np.hstack([pts, np.ones((64, 1))])
+    cam = (hom @ np.asarray(ref_calib.L2C).T)[:, :3]
+    uvw = cam @ np.asarray(ref_calib.P2).T
+    ref_uv = uvw[:, :2] / uvw[:, 2:3]
+
+    uv, valid = ours.project_lidar_to_image(pts)
+    assert valid.all()
+    np.testing.assert_allclose(uv, ref_uv, atol=1e-4)

