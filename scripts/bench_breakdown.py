@@ -4,7 +4,12 @@ Times each stage of the fused pipeline in isolation with the chained-scalar
 method (bench.py): BEV raster, KFPN forward, decode+post, YOLOv8n forward,
 YOLO decode+NMS, fusion math. Use to find the next optimization target.
 
-  python scripts/bench_breakdown.py [--batch 128]
+  python scripts/bench_breakdown.py [--batch 128] [--s2d] [--mfu]
+
+--mfu adds XLA-counted FLOPs per stage and prints achieved TFLOP/s vs the
+v5e peak (197 bf16 TFLOP/s; f32 runs at the bf16 multiply rate under the
+default precision). --s2d benches the space-to-depth stem reformulation
+(models.resnet.stem_kernel_to_s2d).
 """
 
 import argparse
@@ -38,6 +43,10 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--s2d", action="store_true",
+                    help="space-to-depth stem reformulation")
+    ap.add_argument("--mfu", action="store_true",
+                    help="XLA-counted FLOPs + achieved TFLOP/s per stage")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +62,7 @@ def main():
 
     b = args.batch
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    kfpn = create_model("fpn_resnet_18", dtype=dt)
+    kfpn = create_model("fpn_resnet_18", dtype=dt, s2d_stem=args.s2d)
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
     yolo = YOLOv8(scale="n", dtype=dt)
     yvars = yolo.init(jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3)), train=False)
@@ -128,14 +137,46 @@ def main():
 
     per_frame = {k: v / args.iters / b * 1000.0 for k, v in timings.items()}
     total = sum(per_frame.values())
-    print(json.dumps({
+    out = {
         "batch": b,
         "dtype": args.dtype,
+        "s2d_stem": args.s2d,
         "per_frame_ms": {k: round(v, 4) for k, v in per_frame.items()},
         "sum_ms": round(total, 4),
         "sum_fps": round(1000.0 / total, 1),
         "device": str(jax.devices()[0]),
-    }, indent=2))
+    }
+
+    if args.mfu:
+        # XLA's own FLOP count per compiled stage program
+        def stage_flops(fn, *a):
+            ca = fn.lower(*a, jnp.float32(0)).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+
+        PEAK_TFLOPS = 197.0  # TPU v5e bf16 peak per chip
+        flops = {
+            "bev_raster": stage_flops(raster, pts, valid),
+            "kfpn_forward": stage_flops(kfwd, bev0),
+            "sfa_decode": stage_flops(dec, outs0),
+            "yolo_forward": stage_flops(yfwd, images),
+            "yolo_decode_nms": stage_flops(ydec, youts0),
+        }
+        mfu = {}
+        for k, fl in flops.items():
+            ms = per_frame[k]
+            per_frame_flops = fl / b
+            achieved = per_frame_flops / (ms / 1e3) / 1e12  # TFLOP/s
+            mfu[k] = {
+                "gflops_per_frame": round(per_frame_flops / 1e9, 3),
+                "achieved_tflops": round(achieved, 2),
+                "mfu_pct_of_v5e_peak": round(100 * achieved / PEAK_TFLOPS, 2),
+            }
+        out["mfu"] = mfu
+        out["total_gflops_per_frame"] = round(sum(f / b for f in flops.values()) / 1e9, 3)
+
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,218 @@
+"""Generalization check: the training recipe must learn, not memorize.
+
+Trains fpn_resnet_18 on ~512 DISTINCT synthetic scenes with the reference
+recipe shape (cosine LR, batch 16 x subdivisions -> effective batch 64,
+rotation/scaling augmentation ON — /root/reference/train.py:151-178 +
+Technical_details.md:39-44), holds out a disjoint val split, KILLS the
+training process mid-run and lets --auto_resume continue it, then evaluates
+every retained checkpoint on the held-out frames to record the val mAP
+curve. Proves: the recipe generalizes to unseen frames, and a killed run
+resumes into the same trajectory (schedule + optimizer state restored;
+bit-exactness of that restore is pinned by tests/test_train.py::
+test_resume_continues_schedule_and_optimizer_exactly).
+
+Run on the TPU (tens of minutes):  python scripts/generalize_check.py
+CPU smoke (plumbing only):         python scripts/generalize_check.py --cpu \
+    --frames_train 16 --frames_val 4 --epochs 2 --checkpoint_freq 1 \
+    --batch_size 4 --effective_batch 4 --kill_after_epoch 0
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def train_cmd(args, root, tmp):
+    cmd = [
+        sys.executable, "-m", "sfa3d_tpu.cli", "train",
+        "--dataset_dir", root,
+        "--batch_size", str(args.batch_size),
+        "--effective_batch", str(args.effective_batch),
+        "--mesh_shape", "1",
+        "--num_epochs", str(args.epochs),
+        "--checkpoint_freq", str(args.checkpoint_freq),
+        "--keep_checkpoints", "0",  # keep every epoch: the eval curve needs them
+        "--auto_resume",
+        "--print_freq", "8",
+        "--num_workers", "4",
+        "--lr", str(args.lr),
+        "--lr_type", "cosin",
+        "--root-dir", tmp,
+        "--saved_fn", "gen",
+        "--compute_dtype", args.dtype,
+        # augmentation ON: reference train-time aug (OneOf(rotation, scaling)
+        # p=0.66 + BEV hflip) — the defaults
+    ]
+    if args.cpu:
+        cmd += ["--platform", "cpu"]
+    return cmd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--frames_train", type=int, default=512)
+    ap.add_argument("--frames_val", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--effective_batch", type=int, default=64)
+    ap.add_argument("--checkpoint_freq", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--kill_after_epoch", type=int, default=None,
+                    help="SIGKILL the trainer once this epoch's checkpoint "
+                         "lands (default: epochs//3 rounded to a checkpoint; "
+                         "0 disables the kill)")
+    ap.add_argument("--min_final_easy", type=float, default=0.5)
+    ap.add_argument("--out", default=os.path.join(_ROOT, "GENERALIZE_CHECK.json"))
+    ap.add_argument("--keep_tmp", action="store_true")
+    args = ap.parse_args()
+
+    kill_epoch = args.kill_after_epoch
+    if kill_epoch is None:
+        kill_epoch = max(args.checkpoint_freq,
+                         (args.epochs // 3) // args.checkpoint_freq
+                         * args.checkpoint_freq)
+
+    from sfa3d_tpu.data.synthetic import write_mini_kitti
+
+    tmp = tempfile.mkdtemp(prefix="generalize_")
+    root = os.path.join(tmp, "kitti")
+    n = args.frames_train + args.frames_val
+    print(f"writing {n} synthetic scenes ({args.frames_train} train / "
+          f"{args.frames_val} HELD-OUT val) under {root}")
+    write_mini_kitti(
+        root, n_frames=n,
+        splits={"train": range(args.frames_train),
+                "val": range(args.frames_train, n),
+                "test": range(args.frames_train, n)},
+    )
+
+    cmd = train_cmd(args, root, tmp)
+    ckpt_dir = os.path.join(tmp, "checkpoints", "gen")
+    env = dict(os.environ, PYTHONPATH=_ROOT)
+
+    killed_at = None
+    if kill_epoch:
+        # phase 1: launch, wait for the kill_epoch checkpoint, SIGKILL
+        # mid-following-epoch (direct PID — never pattern-based)
+        print(f"phase 1: {' '.join(cmd)}")
+        proc = subprocess.Popen(cmd, cwd=_ROOT, env=env)
+        target = os.path.join(ckpt_dir, f"Model_gen_epoch_{kill_epoch}")
+        deadline = time.time() + 7200
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.isdir(target) or os.path.exists(target):
+                time.sleep(10)  # let the next epoch get underway
+                break
+            time.sleep(2)
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+            killed_at = kill_epoch
+            print(f"killed trainer after epoch-{kill_epoch} checkpoint landed")
+        else:
+            print("trainer exited before the kill point "
+                  f"(rc={proc.returncode}); continuing")
+
+    # phase 2 (or the only phase): run to completion; --auto_resume picks up
+    print("phase 2: relaunch to completion (auto_resume)")
+    rc = subprocess.run(cmd, cwd=_ROOT, env=env).returncode
+    assert rc == 0, f"training failed rc={rc}"
+
+    # resume evidence from the log file
+    resumed_from = None
+    logf = glob.glob(os.path.join(tmp, "logs", "**", "logger_gen.txt"),
+                     recursive=True)
+    if logf:
+        for line in open(logf[0]):
+            m = re.search(r"resumed from .*epoch (\d+)", line)
+            if m:
+                resumed_from = int(m.group(1))
+    if killed_at is not None:
+        assert resumed_from is not None and resumed_from >= killed_at, (
+            f"expected auto-resume from >= epoch {killed_at}, log says {resumed_from}"
+        )
+
+    # post-hoc held-out eval of every retained checkpoint -> the mAP curve
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from sfa3d_tpu.cli.eval import main as eval_main
+
+    ckpts = sorted(
+        glob.glob(os.path.join(ckpt_dir, "Model_gen_epoch_*")),
+        key=lambda p: int(p.rsplit("_", 1)[-1]),
+    )
+    assert ckpts, f"no checkpoints under {ckpt_dir}"
+    curve = []
+    for ckpt in ckpts:
+        epoch = int(ckpt.rsplit("_", 1)[-1])
+        res = eval_main([
+            "--dataset_dir", root,
+            "--split", "val",
+            "--num_samples", str(args.frames_val),
+            "--pretrained_path", ckpt,
+            "--peak_thresh", "0.2",
+        ])
+        row = {
+            "epoch": epoch,
+            "val_mAP": round(res["mAP"], 4),
+            "by_difficulty": {k: round(v, 4)
+                              for k, v in res.get("by_difficulty", {}).items()},
+            "per_class": {k: round(v, 4) for k, v in res.items()
+                          if k.startswith("AP_")},
+        }
+        curve.append(row)
+        print(json.dumps(row))
+
+    final = curve[-1]
+    early = curve[0]
+    report = {
+        "cmd": "python scripts/generalize_check.py",
+        "config": {
+            "frames_train": args.frames_train,
+            "frames_val": args.frames_val,
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "effective_batch": args.effective_batch,
+            "lr": args.lr, "lr_type": "cosin",
+            "augmentation": "ON (reference defaults: OneOf(rotation, scaling) p=0.66 + hflip)",
+            "dtype": args.dtype,
+        },
+        "killed_after_epoch": killed_at,
+        "auto_resumed_from_epoch": resumed_from,
+        "val_map_curve": curve,
+        "final": final,
+        "climbed": final["val_mAP"] > early["val_mAP"],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+
+    ok = final["by_difficulty"].get("Easy", final["val_mAP"]) >= args.min_final_easy
+    if not ok:
+        print(f"FAIL: held-out Easy AP "
+              f"{final['by_difficulty'].get('Easy')} < {args.min_final_easy}")
+        sys.exit(1)
+    if not report["climbed"]:
+        print("FAIL: val mAP did not climb across the curve")
+        sys.exit(1)
+    print("GENERALIZE CHECK OK")
+    if not args.keep_tmp:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

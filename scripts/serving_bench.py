@@ -1,8 +1,19 @@
-"""Serving throughput on the local chip: concurrent clients against the
-dynamic batcher vs sequential single-frame calls.
+"""Serving throughput: concurrent clients against the dynamic batcher.
+
+Two measurements:
+
+1. Default: served fps with threads as clients vs sequential batch-1 calls
+   (round-2 measurement; on the tunneled chip both sides are RTT-bound).
+2. --in_process: the BATCHER-overhead measurement (VERDICT r2 item 5) —
+   served fps vs the RAW pipeline rate of the same bucket-size batched jit
+   driven back-to-back with no batcher, on the same backend, at several
+   (max_batch, max_delay) settings. On --platform cpu this isolates the
+   batcher machinery (queues, thread handoff, padding, result fan-out)
+   from tunnel/network effects entirely: overhead% = 1 - served/raw.
 
   python scripts/serving_bench.py [--clients 8] [--per_client 16]
                                   [--max_batch 16] [--max_delay_ms 3]
+  python scripts/serving_bench.py --in_process --platform cpu
 """
 
 import argparse
@@ -17,20 +28,110 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _raw_pipeline_fps(det, pts, valid, iters=6):
+    """Back-to-back batched detect_frames with the SAME per-batch host costs
+    the dispatch thread pays (H2D of the padded batch, small-array fetch):
+    the no-batcher upper bound for the same bucket size. served/raw then
+    isolates the batcher machinery (queues, thread handoff, padding,
+    per-request filter+pad, future fan-out)."""
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.pipeline import detect_frames
+
+    out = detect_frames(det.model, det.variables, jnp.asarray(pts),
+                        jnp.asarray(valid), K=det.K,
+                        peak_thresh=det.peak_thresh)
+    np.asarray(out["mask"])  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = detect_frames(det.model, det.variables, jnp.asarray(pts),
+                            jnp.asarray(valid), K=det.K,
+                            peak_thresh=det.peak_thresh)
+        {k: np.asarray(out[k]) for k in ("mask", "boxes_real", "detections")}
+    return iters * pts.shape[0] / (time.perf_counter() - t0)
+
+
+def _served_fps(det, scans, max_batch, max_delay_ms, per_client):
+    from sfa3d_tpu.runtime.serving import BatchingDetectorServer
+
+    server = BatchingDetectorServer(
+        det, max_batch=max_batch, max_delay_ms=max_delay_ms
+    )
+    server.warmup()
+    base_batches = server.stats["batches"]
+
+    def client(i):
+        for _ in range(per_client):
+            server.submit(scans[i]).result(timeout=600)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(scans))]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    n = len(scans) * per_client
+    batches = server.stats["batches"] - base_batches
+    server.stop()
+    return n / dt, n / max(batches, 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--per_client", type=int, default=16)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_delay_ms", type=float, default=3.0)
+    ap.add_argument("--in_process", action="store_true",
+                    help="batcher-overhead sweep vs the raw pipeline rate")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     args = ap.parse_args()
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from sfa3d_tpu.config import kitti as cnf
     from sfa3d_tpu.data.synthetic import synthetic_scene
     from sfa3d_tpu.detector import Detector
-    from sfa3d_tpu.runtime.serving import BatchingDetectorServer
+    from sfa3d_tpu.ops.bev import filter_and_pad_points
 
     det = Detector(peak_thresh=0.2)
     scans = [synthetic_scene(seed=s)[0] for s in range(args.clients)]
+
+    if args.in_process:
+        settings = [(4, 1.0), (8, 3.0), (16, 3.0), (16, 10.0)]
+        rows = []
+        for max_batch, delay in settings:
+            pts = np.zeros((max_batch, cnf.MAX_POINTS_FILTERED, 4), np.float32)
+            val = np.zeros((max_batch, cnf.MAX_POINTS_FILTERED), bool)
+            for b in range(max_batch):
+                pts[b], val[b] = filter_and_pad_points(
+                    scans[b % len(scans)], cnf.MAX_POINTS_FILTERED
+                )
+            raw = _raw_pipeline_fps(det, pts, val)
+            served, avg_batch = _served_fps(
+                det, scans, max_batch, delay, args.per_client
+            )
+            rows.append({
+                "max_batch": max_batch,
+                "max_delay_ms": delay,
+                "raw_pipeline_fps": round(raw, 1),
+                "served_fps": round(served, 1),
+                "batcher_overhead_pct": round(100 * (1 - served / raw), 1),
+                "avg_batch_size": round(avg_batch, 2),
+            })
+            print(json.dumps(rows[-1]), file=sys.stderr)
+        print(json.dumps({
+            "metric": "in-process batcher overhead vs raw pipeline rate",
+            "platform": args.platform or "default",
+            "concurrent_clients": args.clients,
+            "sweep": rows,
+        }))
+        return
 
     # sequential baseline (batch-1 jit), warmed
     det.detect(scans[0])
@@ -39,37 +140,16 @@ def main():
         det.detect(scans[0])
     seq_fps = 4 / (time.perf_counter() - t0)
 
-    server = BatchingDetectorServer(
-        det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+    served, avg_batch = _served_fps(
+        det, scans, args.max_batch, args.max_delay_ms, args.per_client
     )
-    server.warmup()  # compile every power-of-2 bucket before traffic
-
-    base_batches = server.stats["batches"]
-    results = []
-
-    def client(i):
-        for _ in range(args.per_client):
-            results.append(server.submit(scans[i]).result(timeout=600))
-
-    threads = [threading.Thread(target=client, args=(i,))
-               for i in range(args.clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
-    n = args.clients * args.per_client
-    batches = server.stats["batches"] - base_batches
-    server.stop()
-
     print(json.dumps({
         "metric": "serving throughput, dynamic batching vs sequential",
         "concurrent_clients": args.clients,
-        "served_frames_per_sec": round(n / dt, 1),
+        "served_frames_per_sec": round(served, 1),
         "sequential_frames_per_sec": round(seq_fps, 1),
-        "speedup": round(n / dt / seq_fps, 2),
-        "avg_batch_size": round(n / max(batches, 1), 2),
+        "speedup": round(served / seq_fps, 2),
+        "avg_batch_size": round(avg_batch, 2),
         "max_batch": args.max_batch,
         "max_delay_ms": args.max_delay_ms,
     }))

@@ -31,6 +31,11 @@ def main(argv=None):
         shard_batch,
     )
 
+    configs = parse_train_configs(argv)
+    if configs.runtime.platform:
+        # before any backend init (the axon plugin ignores JAX_PLATFORMS)
+        jax.config.update("jax_platforms", configs.runtime.platform)
+
     # multi-host glue (reference dist.init_process_group, train.py:82-83):
     # must run before any other jax call so every process sees the global
     # device set in jax.devices()
@@ -46,7 +51,6 @@ def main(argv=None):
     from sfa3d_tpu.runtime.schedules import create_lr_schedule, create_optimizer
     from sfa3d_tpu.models import load_variables
 
-    configs = parse_train_configs(argv)
     os.makedirs(configs.checkpoints_dir, exist_ok=True)
     os.makedirs(configs.logs_dir, exist_ok=True)
 

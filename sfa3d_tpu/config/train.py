@@ -111,6 +111,9 @@ class RuntimeConfig:
     # jax.profiler trace directory (SURVEY.md section 5 profiling hook);
     # None disables tracing.
     profile_dir: Optional[str] = None
+    # force a jax platform (the axon TPU plugin ignores JAX_PLATFORMS; the
+    # config flag wins) — mainly for CPU smoke runs of the training CLI
+    platform: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,6 +196,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_dir", type=str, default=None)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--platform", type=str, default=None,
+                   choices=[None, "cpu", "tpu"],
+                   help="force a jax platform (cpu smoke runs)")
     return p
 
 
@@ -246,6 +252,7 @@ def parse_train_configs(argv=None) -> TrainConfig:
             keep_checkpoints=args.keep_checkpoints,
             mesh_shape=args.mesh_shape,
             profile_dir=args.profile_dir,
+            platform=args.platform,
         ),
         decode=DecodeConfig(K=args.K, peak_thresh=args.peak_thresh),
     )

@@ -119,6 +119,7 @@ def build_fused_pipeline(
     nms_threshold: float = 0.5,
     gaussian_sigma: float = 0.5,
     return_bev: bool = False,
+    bev_size=(608, 608),
 ):
     """Build the jitted batched fusion step.
 
@@ -128,6 +129,11 @@ def build_fused_pipeline(
       scores / classes / valid / source (B, max_yolo+K)
       boxes_real (B, K, 8) metric 3D rows + mask_3d (B, K)  (SFA3D branch)
     `source`: 0 = YOLO pass-through, 1 = SFA3D pass-through, 2 = fused.
+
+    `bev_size` shrinks the raster for compile/sharding dry-runs
+    (__graft_entry__.dryrun_multichip); metric decode constants assume the
+    production 608x608, so non-default sizes are for shape/compile checks
+    only.
     """
     if mode not in ("nms", "weighted", "bayesian"):
         # match the host path's behavior (fusion/pipeline.py FUSION_MODES):
@@ -147,7 +153,11 @@ def build_fused_pipeline(
     def run(kfpn_vars, yolo_vars, points, valid, images, V2C, R0, P2,
             img_hw, lb_scale, lb_pad) -> Dict[str, Any]:
         # --- SFA3D (LiDAR) branch ---
-        bev = jax.vmap(lambda p, v: points_to_bev(p, v))(points, valid)
+        bev = jax.vmap(
+            lambda p, v: points_to_bev(
+                p, v, bev_height=bev_size[0], bev_width=bev_size[1]
+            )
+        )(points, valid)
         outputs = kfpn_model.apply(kfpn_vars, bev, train=False)
         dets = decode(
             clamped_sigmoid(outputs["hm_cen"]),

@@ -9,15 +9,21 @@ import jax
 import jax.numpy as jnp
 
 
-def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.float32):
-    """Arch string -> flax module (model_utils.py:25-43 dispatch)."""
+def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.float32,
+                 s2d_stem: bool = False):
+    """Arch string -> flax module (model_utils.py:25-43 dispatch).
+
+    `s2d_stem=True` uses the space-to-depth stem reformulation (exactly
+    weight-transformable from standard checkpoints via
+    kfpn.convert_variables_to_s2d)."""
     from sfa3d_tpu.models.kfpn import KFPN
     from sfa3d_tpu.models.centernet_deconv import DeconvCenterNet
 
     parts = arch.split("_")
     num_layers = int(parts[-1])
     if arch.startswith("fpn_resnet"):
-        return KFPN(num_layers=num_layers, head_conv=head_conv, dtype=dtype)
+        return KFPN(num_layers=num_layers, head_conv=head_conv, dtype=dtype,
+                    s2d_stem=s2d_stem)
     if arch.startswith("resnet"):
         return DeconvCenterNet(num_layers=num_layers, head_conv=head_conv, dtype=dtype)
     raise ValueError(f"unknown arch: {arch}")

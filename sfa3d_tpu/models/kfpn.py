@@ -125,12 +125,14 @@ class KFPN(nn.Module):
     heads: Tuple[Tuple[str, int], ...] = tuple(sorted(HEADS.items()))
     dtype: Any = jnp.float32
     fused_heads: bool = False
+    s2d_stem: bool = False  # space-to-depth stem (resnet.stem_kernel_to_s2d)
 
     @nn.compact
     def __call__(self, x, train: bool = False, capture_features: bool = False):
         x = x.astype(self.dtype)
         out1, out2, out3, out4 = ResNetBackbone(
-            self.num_layers, dtype=self.dtype, name="backbone"
+            self.num_layers, dtype=self.dtype, s2d_stem=self.s2d_stem,
+            name="backbone",
         )(x, train)
 
         # Top-down pyramid (fpn_resnet.py:197-210). Channel sizes assume the
@@ -238,6 +240,30 @@ def fuse_head_params(variables, heads=tuple(sorted(HEADS.items())), head_conv: i
     out = {"params": new_params}
     if "batch_stats" in variables:
         out["batch_stats"] = variables["batch_stats"]
+    return out
+
+
+def convert_variables_to_s2d(variables):
+    """Standard-stem variables -> variables for KFPN(s2d_stem=True) /
+    ResNetBackbone(s2d_stem=True): rewrites ONLY the stem conv kernel via
+    the exact space-to-depth weight transform (resnet.stem_kernel_to_s2d);
+    BN params/stats and every other layer are untouched. Checkpoints stay
+    in the standard layout; transform at load time."""
+    import copy
+
+    from sfa3d_tpu.models.resnet import stem_kernel_to_s2d
+
+    variables = jax.tree_util.tree_map(lambda t: t, variables)  # shallow-ish
+    params = copy.deepcopy(
+        jax.tree_util.tree_map(np.asarray, variables["params"])
+    )
+    params["backbone"]["stem"]["conv"]["kernel"] = stem_kernel_to_s2d(
+        params["backbone"]["stem"]["conv"]["kernel"]
+    )
+    out = {"params": params}
+    for coll in variables:
+        if coll != "params":
+            out[coll] = variables[coll]
     return out
 
 

@@ -20,24 +20,69 @@ import jax.numpy as jnp
 BN_MOMENTUM = 0.9  # == torch momentum 0.1 (see module docstring)
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel index (dy*2 + dx)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_kernel_to_s2d(k7: Any) -> Any:
+    """(7, 7, C, F) stride-2 stem kernel -> the EXACTLY-equivalent
+    (4, 4, 4C, F) stride-1 kernel over a space-to-depth(2) input.
+
+    Derivation: output o of conv7x7/s2(pad 3) reads input rows 2o-3..2o+3.
+    Embed K7 in an 8x8 kernel with a zero row/col at the TOP/LEFT, so the
+    window becomes rows 2o-4..2o+3 = sd rows o-2..o+1 — a 4-tap stride-1
+    conv with padding (2, 1). K4[u, v, (dy*2+dx)*C + c, f] = K8[2u+dy,
+    2v+dx, c, f]. The classic TPU stem reformulation (MLPerf ResNet): same
+    math, but the conv contracts over 4C input channels instead of C."""
+    import numpy as np
+
+    k7 = np.asarray(k7)
+    _, _, c, f = k7.shape
+    k8 = np.zeros((8, 8, c, f), k7.dtype)
+    k8[1:, 1:] = k7
+    k4 = k8.reshape(4, 2, 4, 2, c, f).transpose(0, 2, 1, 3, 4, 5)
+    return k4.reshape(4, 4, 4 * c, f)
+
+
 class ConvBN(nn.Module):
     features: int
     kernel: int
     stride: int = 1
     use_bias: bool = False
     dtype: Any = jnp.float32
+    # space-to-depth reformulation (stem only: kernel 7, stride 2). The
+    # param tree keeps the {conv, bn} shape; the conv kernel is the
+    # transformed (4, 4, 4C, F) layout (stem_kernel_to_s2d).
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.s2d:
+            assert self.kernel == 7 and self.stride == 2, "s2d is the stem reformulation"
+            x = space_to_depth2(x)
+            x = nn.Conv(
+                self.features,
+                (4, 4),
+                strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -109,13 +154,16 @@ class ResNetBackbone(nn.Module):
 
     num_layers: int = 18
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls, counts = RESNET_SPEC[self.num_layers]
         expansion = 4 if block_cls is Bottleneck else 1
 
-        x = ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x, train)
+        x = ConvBN(
+            64, 7, 2, dtype=self.dtype, s2d=self.s2d_stem, name="stem"
+        )(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -182,3 +182,50 @@ def test_bottleneck_kfpn_works():
     variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
     out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
     assert out["hm_cen"].shape == (1, 16, 16, 3)
+
+
+def test_s2d_stem_exact_parity(rng):
+    """Space-to-depth stem reformulation (resnet.stem_kernel_to_s2d): the
+    transformed 4x4/s1 conv over the space-to-depth input must be
+    numerically equivalent to the standard 7x7/s2 stem, end-to-end through
+    the full KFPN (the transform is exact; tolerance covers f32
+    reassociation only)."""
+    from sfa3d_tpu.models.kfpn import convert_variables_to_s2d
+
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(3), input_size=(64, 64))
+    s2d_model = create_model("fpn_resnet_18", s2d_stem=True)
+    s2d_vars = convert_variables_to_s2d(variables)
+    assert s2d_vars["params"]["backbone"]["stem"]["conv"]["kernel"].shape == (4, 4, 12, 64)
+
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    a = model.apply(variables, jnp.asarray(x), train=False)
+    b = s2d_model.apply(s2d_vars, jnp.asarray(x), train=False)
+    for head in HEADS:
+        np.testing.assert_allclose(
+            np.asarray(a[head]), np.asarray(b[head]), atol=1e-5, err_msg=head
+        )
+
+
+def test_s2d_stem_conv_only_parity(rng):
+    """The stem transform in isolation, at the production 608 input size
+    (bit-level check of window alignment incl. both boundaries)."""
+    from sfa3d_tpu.models.resnet import ConvBN
+
+    x = rng.uniform(-1, 1, (1, 608, 608, 3)).astype(np.float32)
+    std = ConvBN(64, 7, 2)
+    k = std.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out_std = std.apply(k, jnp.asarray(x))
+
+    from sfa3d_tpu.models.resnet import stem_kernel_to_s2d
+
+    s2d = ConvBN(64, 7, 2, s2d=True)
+    import copy
+    k2 = jax.tree_util.tree_map(np.asarray, k)
+    k2 = {"params": copy.deepcopy(k2["params"]), "batch_stats": k2["batch_stats"]}
+    k2["params"]["conv"]["kernel"] = stem_kernel_to_s2d(k2["params"]["conv"]["kernel"])
+    out_s2d = s2d.apply(k2, jnp.asarray(x))
+    assert out_s2d.shape == out_std.shape == (1, 304, 304, 64)
+    np.testing.assert_allclose(
+        np.asarray(out_std), np.asarray(out_s2d), atol=2e-6
+    )

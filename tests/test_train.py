@@ -225,3 +225,41 @@ def test_auto_resume_and_checkpoint_retention(tmp_path, rng):
     # keep_last=0 keeps everything (reference behavior)
     prune_checkpoints(d, "ar", keep_last=0)
     assert os.path.exists(os.path.join(d, "Model_ar_epoch_2"))
+
+
+def test_resume_continues_schedule_and_optimizer_exactly(tmp_path):
+    """A killed-and-resumed run must be indistinguishable from an
+    uninterrupted one: after checkpoint restore, the optimizer moments, the
+    schedule position (state.step drives the cosine LR), and the resulting
+    params match the continuous run bit-for-bit over the same batch
+    sequence (GENERALIZE_CHECK's resume leg relies on this)."""
+    from sfa3d_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = OptimConfig(lr_type="cosin")
+    tx = create_optimizer(cfg, num_epochs=2, steps_per_epoch=4)
+    step = make_train_step(create_model("fpn_resnet_18"), tx)
+    batches = [synthetic_batch(np.random.default_rng(100 + i), b=2)
+               for i in range(8)]
+
+    model, s_cont = _small_model_and_state(tx)
+    for b in batches:
+        s_cont, _ = step(s_cont, b)
+
+    _, s_a = _small_model_and_state(tx)  # same PRNGKey(0) init
+    for b in batches[:4]:
+        s_a, _ = step(s_a, b)
+    path = save_checkpoint(str(tmp_path), "rc", s_a, epoch=1)
+
+    _, fresh = _small_model_and_state(tx)
+    s_b, epoch = load_checkpoint(path, fresh)
+    assert epoch == 1 and int(s_b.step) == 4
+    for b in batches[4:]:
+        s_b, _ = step(s_b, b)
+
+    assert int(s_b.step) == int(s_cont.step) == 8
+    for a, c in zip(jax.tree_util.tree_leaves(s_b.params),
+                    jax.tree_util.tree_leaves(s_cont.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    for a, c in zip(jax.tree_util.tree_leaves(s_b.opt_state),
+                    jax.tree_util.tree_leaves(s_cont.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
