@@ -99,7 +99,10 @@ def main():
 
     cmd = train_cmd(args, root, tmp)
     ckpt_dir = os.path.join(tmp, "checkpoints", "gen")
-    env = dict(os.environ, PYTHONPATH=_ROOT)
+    # APPEND to PYTHONPATH: overwriting would drop the TPU plugin's path
+    # (/root/.axon_site rides on PYTHONPATH in this environment)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
 
     killed_at = None
     if kill_epoch:
@@ -167,10 +170,11 @@ def main():
         row = {
             "epoch": epoch,
             "val_mAP": round(res["mAP"], 4),
-            "by_difficulty": {k: round(v, 4)
+            # per-bucket dicts carry AP_<cls> + "mAP"; keep the bucket mAPs
+            "by_difficulty": {k: round(v["mAP"], 4)
                               for k, v in res.get("by_difficulty", {}).items()},
             "per_class": {k: round(v, 4) for k, v in res.items()
-                          if k.startswith("AP_")},
+                          if k.startswith("AP_") and not isinstance(v, dict)},
         }
         curve.append(row)
         print(json.dumps(row))

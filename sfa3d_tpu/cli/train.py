@@ -143,7 +143,10 @@ def main(argv=None):
     import contextlib
     from collections import deque
 
-    max_inflight = 8
+    # cap the lag below the epoch length: with steps_per_epoch <= lag the
+    # within-epoch progress lines would always print a 0.0 loss (nothing
+    # drained yet)
+    max_inflight = max(1, min(8, steps_per_epoch - 1))
     profile = contextlib.ExitStack()  # jax.profiler trace around the loop
     if configs.runtime.profile_dir:
         profile.enter_context(jax.profiler.trace(configs.runtime.profile_dir))

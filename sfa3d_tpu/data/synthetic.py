@@ -77,7 +77,16 @@ def synthetic_scene(
         pts[:, 0] = c * local[:, 0] - s * local[:, 1] + x
         pts[:, 1] = s * local[:, 0] + c * local[:, 1] + y
         pts[:, 2] = local[:, 2] + z
-        pts[:, 3] = rng.uniform(0.2, 0.9)
+        # Front/back asymmetry (like real vehicles): intensity rises toward
+        # the local +x (front) face. Without it a box's point cloud is
+        # IDENTICAL under yaw -> yaw+pi, the (sin, cos) direction targets
+        # for visually-equal scenes contradict each other, and a trained
+        # direction head collapses to ~0 (= random yaw; found by the round-3
+        # generalization run: centers/dims/class learned, yaw uniform).
+        frontness = local[:, 0] / l + 0.5  # 0 at rear face, 1 at front
+        pts[:, 3] = np.clip(
+            rng.uniform(0.15, 0.35, m) + 0.55 * frontness, 0.0, 1.0
+        )
         obj_points.append(pts)
         # label yaw convention: build_targets negates (kitti_dataset.py:181),
         # so store -yaw to make the heatmap target yaw equal `yaw`.

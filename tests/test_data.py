@@ -143,3 +143,34 @@ def test_hflip_consistency(mini_kitti):
         assert any(
             yf == y and xf in (mirror, mirror - 1) for yf, xf in nz_f
         ), (y, x, nz_f)
+
+
+def test_synthetic_objects_are_yaw_identifiable():
+    """Synthetic boxes must NOT be pi-symmetric: a box whose point cloud
+    looks identical under yaw -> yaw+pi gives contradictory direction
+    targets across the dataset and the trained direction head collapses to
+    random yaw (round-3 generalization run). The generator breaks the
+    symmetry with front-biased intensity."""
+    from sfa3d_tpu.data.synthetic import synthetic_scene
+
+    pts, labels = synthetic_scene(seed=11)
+    checked = 0
+    for cls, x, y, z, h, w, l, neg_yaw in labels:
+        yaw = -neg_yaw
+        c, s = np.cos(yaw), np.sin(yaw)
+        rel = pts[:, :2] - [x, y]
+        lx = c * rel[:, 0] + s * rel[:, 1]   # local x (front +)
+        ly = -s * rel[:, 0] + c * rel[:, 1]
+        inside = (np.abs(lx) <= l / 2 + 1e-3) & (np.abs(ly) <= w / 2 + 1e-3) \
+            & (pts[:, 2] >= z - 1e-3) & (pts[:, 2] <= z + h + 1e-3)
+        if inside.sum() < 100:
+            continue
+        front = pts[inside & (lx > 0), 3]
+        back = pts[inside & (lx < 0), 3]
+        if len(front) < 20 or len(back) < 20:
+            continue
+        assert front.mean() - back.mean() > 0.15, (
+            f"object at ({x:.1f},{y:.1f}) front/back intensity not separable"
+        )
+        checked += 1
+    assert checked >= 5, f"only {checked} objects checked"
