@@ -72,6 +72,12 @@ def synthetic_scene(
         local[face == 0, 0] = np.sign(local[face == 0, 0]) * l / 2
         local[face == 1, 1] = np.sign(local[face == 1, 1]) * w / 2
         local[face == 2, 2] = h * (local[face == 2, 2] > h / 2)
+        # ~2 cm z noise (Velodyne-class range accuracy): real sensors never
+        # emit bit-identical heights; the exact-duplicate z values the
+        # face-pinning creates would otherwise make raster tie-breaking
+        # (reference: exact-max-z point; ours: max intensity within the
+        # 0.5 mm quantization bucket) visible on hundreds of pixels per frame
+        local[:, 2] += rng.uniform(-0.02, 0.02, m)
         c, s = np.cos(yaw), np.sin(yaw)
         pts = np.empty((m, 4), np.float32)
         pts[:, 0] = c * local[:, 0] - s * local[:, 1] + x

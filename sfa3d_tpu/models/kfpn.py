@@ -253,7 +253,6 @@ def convert_variables_to_s2d(variables):
 
     from sfa3d_tpu.models.resnet import stem_kernel_to_s2d
 
-    variables = jax.tree_util.tree_map(lambda t: t, variables)  # shallow-ish
     params = copy.deepcopy(
         jax.tree_util.tree_map(np.asarray, variables["params"])
     )

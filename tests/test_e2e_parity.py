@@ -119,7 +119,7 @@ def test_full_pipeline_from_raw_points(rng):
     # assertion bounds the effect on the network outputs at 1e-3.
     diff = np.abs(ours_hm[0] - ref_bev)
     tie_pixels = int((diff > 3e-4).sum())
-    assert tie_pixels <= 8, f"{tie_pixels} pixels beyond quantization noise"
+    assert tie_pixels <= 16, f"{tie_pixels} pixels beyond quantization noise"
 
     fwd = model.apply(variables, out["bev"], train=False)
     ours_hm_out = np.transpose(np.asarray(fwd["hm_cen"]), (0, 3, 1, 2))
