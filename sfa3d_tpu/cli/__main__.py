@@ -10,6 +10,7 @@ COMMANDS = {
     "fuse": ("sfa3d_tpu.cli.fuse", "camera-LiDAR fusion (nms/weighted/bayesian)"),
     "eval": ("sfa3d_tpu.cli.eval", "KITTI 3D/BEV AP evaluation on the val split"),
     "serve": ("sfa3d_tpu.cli.serve", "batched JSON detection server (stdio/TCP)"),
+    "export": ("sfa3d_tpu.cli.export", "AOT StableHLO artifact (weights baked in)"),
     "slam": ("sfa3d_tpu.cli.slam", "fusion with dynamic SLAM-simulated calibration"),
     "stereo-calib": ("sfa3d_tpu.cli.stereo_calib", "targetless stereo self-calibration"),
     "argoverse-test": ("sfa3d_tpu.cli.argoverse_test", "Argoverse pipeline runner"),

@@ -1,0 +1,103 @@
+"""`python -m sfa3d_tpu.cli export` — AOT-export the detector (or the full
+fusion pipeline) to a self-contained StableHLO artifact (runtime/export.py).
+
+Examples:
+  # SFA3D detector, symbolic batch, weights baked in:
+  python -m sfa3d_tpu.cli export --pretrained_path ckpt_dir -o model.sfa3dx
+  # full fusion pipeline at fixed batch 8 for a TPU target:
+  python -m sfa3d_tpu.cli export --fused --batch 8 --platforms tpu \
+      --yolo_weights yolov8n.pt -o fused.sfa3dx
+  # run an artifact (no model code needed beyond the loader):
+  python - <<'PY'
+  from sfa3d_tpu.runtime.export import load_exported
+  art = load_exported("model.sfa3dx")
+  out = art.call(points, valid)   # shapes per art.manifest["inputs"]
+  PY
+"""
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="sfa3d_tpu export",
+        description="serialize the jitted pipeline to a StableHLO artifact",
+    )
+    p.add_argument("--pretrained_path", type=str, default=None,
+                   help="KFPN checkpoint (.pth or Orbax dir); RANDOM weights "
+                        "with a warning if absent")
+    p.add_argument("--arch", type=str, default="fpn_resnet_18")
+    p.add_argument("--K", type=int, default=50)
+    p.add_argument("--peak_thresh", type=float, default=0.2)
+    p.add_argument("--batch", type=int, default=None,
+                   help="fixed batch size; default: symbolic (any batch)")
+    p.add_argument("--platforms", type=str, default=None,
+                   help="comma list of lowering platforms, e.g. tpu or "
+                        "tpu,cpu; default: the current jax backend")
+    p.add_argument("--fused", action="store_true",
+                   help="export the FULL fusion pipeline "
+                        "(SFA3D+YOLOv8n+Bayesian fusion+Gaussian NMS)")
+    p.add_argument("--yolo_weights", type=str, default=None,
+                   help="ultralytics yolov8n .pt for --fused")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force the local jax backend used to trace/export")
+    p.add_argument("-o", "--out", type=str, required=True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from sfa3d_tpu.models import create_model, load_variables
+    from sfa3d_tpu.runtime.export import (
+        export_detector, export_fused, save_exported,
+    )
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    model = create_model(args.arch)
+    variables = load_variables(args.pretrained_path, args.arch, model=model)
+
+    if args.fused:
+        from sfa3d_tpu.models.yolov8 import YOLOv8, port_ultralytics_state_dict
+
+        yolo = YOLOv8(scale="n")
+        if args.yolo_weights and os.path.isfile(args.yolo_weights):
+            import torch
+
+            sd = torch.load(args.yolo_weights, map_location="cpu",
+                            weights_only=False)
+            yolo_vars = port_ultralytics_state_dict(sd)
+        else:
+            print("WARNING: no --yolo_weights; YOLO branch uses RANDOM weights")
+            import jax.numpy as jnp
+
+            yolo_vars = yolo.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3), jnp.float32)
+            )
+        exported, manifest = export_fused(
+            model, variables, yolo, yolo_vars,
+            batch=args.batch, platforms=platforms,
+        )
+    else:
+        exported, manifest = export_detector(
+            model, variables, K=args.K, peak_thresh=args.peak_thresh,
+            batch=args.batch, platforms=platforms,
+        )
+
+    save_exported(args.out, exported, manifest)
+    size = os.path.getsize(args.out)
+    print(f"wrote {args.out}: kind={manifest['kind']} "
+          f"platforms={manifest['platforms']} batch="
+          f"{args.batch if args.batch else 'symbolic'} ({size/1e6:.1f} MB)")
+    return manifest
+
+
+if __name__ == "__main__":
+    main()

@@ -46,9 +46,14 @@ def _parse(argv):
     p.add_argument("--port", type=int, default=None,
                    help="TCP port; omit for stdin/stdout mode")
     p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a jax platform (the axon plugin ignores "
                         "JAX_PLATFORMS; this uses the config flag, which wins)")
+    p.add_argument("--compilation_cache", default=None, metavar="DIR",
+                   nargs="?", const="",
+                   help="persist XLA executables under DIR (default "
+                        "~/.cache/sfa3d_tpu/xla_cache) so restarts skip the "
+                        "minutes-long cold compile of the 608^2 pipeline")
     p.add_argument("--fused", action="store_true",
                    help="serve the full camera-LiDAR fusion pipeline")
     p.add_argument("--yolo_checkpoint", default=None,
@@ -183,6 +188,11 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.compilation_cache is not None:
+        from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+        used = enable_compilation_cache(args.compilation_cache or None)
+        print(f"persistent XLA compilation cache: {used}", file=sys.stderr)
 
     from sfa3d_tpu.detector import Detector, FusedDetector
     from sfa3d_tpu.runtime.serving import (

@@ -1,0 +1,160 @@
+"""AOT export (runtime/export.py): serialize -> deserialize -> numerical
+identity with the live pipeline, symbolic-batch artifacts, the fused
+pipeline export, CLI entry, and the persistent compilation cache hook.
+
+The reference has no deployment/export path at all (every entry script
+rebuilds the torch model and re-reads the .pth); this capability is
+beyond-parity, so the tests are self-referential: the live jit program is
+the oracle.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfa3d_tpu.data.synthetic import synthetic_scene
+from sfa3d_tpu.models import create_model
+from sfa3d_tpu.ops.bev import filter_and_pad_points
+from sfa3d_tpu.pipeline import detect_frames, init_detector
+from sfa3d_tpu.runtime.export import (
+    enable_compilation_cache,
+    export_detector,
+    export_fused,
+    load_exported,
+    save_exported,
+)
+import sfa3d_tpu.config.kitti as cnf
+
+MAXP = 4096  # small point budget keeps the CPU trace fast
+
+
+@pytest.fixture(scope="module")
+def det():
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+def _scan_batch(n, seed=0):
+    pts, valid = [], []
+    for i in range(n):
+        scan, _ = synthetic_scene(np.random.default_rng(seed + i))
+        p, v = filter_and_pad_points(scan, MAXP, cnf.boundary)
+        pts.append(p)
+        valid.append(v)
+    return np.stack(pts), np.stack(valid)
+
+
+def test_export_roundtrip_matches_live_pipeline(det, tmp_path):
+    model, variables = det
+    exported, manifest = export_detector(
+        model, variables, K=50, peak_thresh=0.2, max_points=MAXP, batch=2
+    )
+    path = str(tmp_path / "det.sfa3dx")
+    save_exported(path, exported, manifest)
+
+    art = load_exported(path)
+    assert art.manifest["kind"] == "detector"
+    assert art.manifest["K"] == 50
+
+    pts, valid = _scan_batch(2)
+    got = art.call(pts, valid)
+    want = detect_frames(model, variables, jnp.asarray(pts),
+                         jnp.asarray(valid), K=50, peak_thresh=0.2)
+    for k in ("detections", "boxes_real", "mask"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=1e-5,
+            err_msg=f"output {k} diverged through serialization",
+        )
+
+
+def test_symbolic_batch_serves_multiple_batch_sizes(det, tmp_path):
+    model, variables = det
+    exported, manifest = export_detector(
+        model, variables, max_points=MAXP, batch=None
+    )
+    assert manifest["batch"] is None
+    path = str(tmp_path / "poly.sfa3dx")
+    save_exported(path, exported, manifest)
+    art = load_exported(path)
+    for b in (1, 3):
+        pts, valid = _scan_batch(b, seed=10 * b)
+        out = art.call(pts, valid)
+        assert np.asarray(out["detections"]).shape == (b, 50, 10)
+        assert np.isfinite(np.asarray(out["detections"])).all()
+
+
+def test_bad_magic_rejected(tmp_path):
+    path = str(tmp_path / "junk.bin")
+    with open(path, "wb") as f:
+        f.write(b"NOTANEXPORT-----")
+    with pytest.raises(ValueError, match="not a sfa3d_tpu export"):
+        load_exported(path)
+
+
+def test_fused_export_roundtrip(det, tmp_path):
+    from sfa3d_tpu.models.yolov8 import YOLOv8
+
+    model, variables = det
+    yolo = YOLOv8(scale="n")
+    yvars = yolo.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    exported, manifest = export_fused(
+        model, variables, yolo, yvars,
+        batch=1, max_points=MAXP, img_hw=(48, 64), letterbox=64,
+        K=10, max_yolo=10,
+    )
+    path = str(tmp_path / "fused.sfa3dx")
+    save_exported(path, exported, manifest)
+    art = load_exported(path)
+    assert art.manifest["kind"] == "fused"
+
+    pts, valid = _scan_batch(1)
+    images = np.random.default_rng(0).uniform(
+        0, 255, (1, 64, 64, 3)).astype(np.float32)
+    V2C = np.tile(np.eye(3, 4, dtype=np.float32), (1, 1, 1))
+    R0 = np.tile(np.eye(3, dtype=np.float32), (1, 1, 1))
+    P2 = np.tile(np.eye(3, 4, dtype=np.float32) * 100.0, (1, 1, 1))
+    out = art.call(pts, valid, images, V2C, R0, P2)
+    assert np.asarray(out["scores"]).shape == (1, 20)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_cli_export_entry(tmp_path):
+    from sfa3d_tpu.cli.export import main as export_main
+
+    out = str(tmp_path / "cli.sfa3dx")
+    manifest = export_main([
+        "--batch", "1", "--K", "10", "-o", out,
+    ])
+    assert manifest["kind"] == "detector"
+    assert os.path.getsize(out) > 1_000_000  # weights are baked in
+    art = load_exported(out)
+    pts, valid = _scan_batch(1)
+    # CLI export uses the production MAX_POINTS budget; repad to it
+    full = np.zeros((1, art.manifest["max_points"], 4), np.float32)
+    fullv = np.zeros((1, art.manifest["max_points"]), bool)
+    full[:, :MAXP] = pts
+    fullv[:, :MAXP] = valid
+    outd = art.call(full, fullv)
+    assert np.asarray(outd["detections"]).shape == (1, 10, 10)
+
+
+def test_enable_compilation_cache(tmp_path):
+    cache_dir = str(tmp_path / "xla_cache")
+    got = enable_compilation_cache(cache_dir)
+    try:
+        assert got == cache_dir and os.path.isdir(cache_dir)
+        # a fresh program must land an entry in the persistent cache
+        @jax.jit
+        def f(x):
+            return jnp.tanh(x) * 3.0 + jnp.sin(x)
+
+        np.asarray(f(jnp.arange(17.0)))
+        entries = os.listdir(cache_dir)
+        assert entries, "no persistent-cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
