@@ -11,8 +11,11 @@ resumes into the same trajectory (schedule + optimizer state restored;
 bit-exactness of that restore is pinned by tests/test_train.py::
 test_resume_continues_schedule_and_optimizer_exactly).
 
-Run on the TPU (tens of minutes):  python scripts/generalize_check.py
-CPU smoke (plumbing only):         python scripts/generalize_check.py --cpu \
+Run on the TPU (a few hours — the defaults ARE the validated
+GENERALIZE_CHECK.json config):     python scripts/generalize_check.py
+CPU smoke (plumbing only; --smoke reports the accuracy gates without
+enforcing them — 2 epochs from random init can't pass them):
+    python scripts/generalize_check.py --cpu --smoke \
     --frames_train 16 --frames_val 4 --epochs 2 --checkpoint_freq 1 \
     --batch_size 4 --effective_batch 4 --kill_after_epoch 0
 """
@@ -62,17 +65,23 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--frames_train", type=int, default=512)
     ap.add_argument("--frames_val", type=int, default=64)
-    ap.add_argument("--epochs", type=int, default=40)
+    # defaults == the validated GENERALIZE_CHECK.json run (lr 2.5e-4: the
+    # accumulation SUMS micro-batch grads for torch parity, so 1e-3 at 4
+    # slices oscillates — docs/TECHNICAL.md "LR note")
+    ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--effective_batch", type=int, default=64)
-    ap.add_argument("--checkpoint_freq", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--checkpoint_freq", type=int, default=20)
+    ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--kill_after_epoch", type=int, default=None,
                     help="SIGKILL the trainer once this epoch's checkpoint "
                          "lands (default: epochs//3 rounded to a checkpoint; "
                          "0 disables the kill)")
     ap.add_argument("--min_final_easy", type=float, default=0.5)
+    ap.add_argument("--smoke", action="store_true",
+                    help="plumbing-only run: report the accuracy gates but "
+                         "exit 0 even if they fail")
     ap.add_argument("--out", default=os.path.join(_ROOT, "GENERALIZE_CHECK.json"))
     ap.add_argument("--keep_tmp", action="store_true")
     args = ap.parse_args()
@@ -185,7 +194,9 @@ def main():
     # deliverable checkpoint is the best-val one, not the last epoch
     best = max(curve, key=lambda r: r["val_mAP"])
     report = {
-        "cmd": "python scripts/generalize_check.py",
+        # the exact invocation, so the artifact is reproducible as recorded
+        "cmd": " ".join(["python", os.path.relpath(sys.argv[0], _ROOT)]
+                        + sys.argv[1:]),
         "config": {
             "frames_train": args.frames_train,
             "frames_val": args.frames_val,
@@ -207,19 +218,28 @@ def main():
         json.dump(report, f, indent=2)
     print(f"wrote {args.out}")
 
-    ok = best["by_difficulty"].get("Easy", best["val_mAP"]) >= args.min_final_easy
-    if not ok:
-        print(f"FAIL: best held-out Easy AP "
-              f"{best['by_difficulty'].get('Easy')} < {args.min_final_easy}")
-        sys.exit(1)
+    failures = []
+    if best["by_difficulty"].get("Easy", best["val_mAP"]) < args.min_final_easy:
+        failures.append(f"best held-out Easy AP "
+                        f"{best['by_difficulty'].get('Easy')} < {args.min_final_easy}")
     if not report["climbed"]:
-        print("FAIL: val mAP did not climb across the curve")
-        sys.exit(1)
-    print("GENERALIZE CHECK OK")
+        failures.append("val mAP did not climb across the curve")
+
     if not args.keep_tmp:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+    if failures and args.smoke:
+        for f_ in failures:
+            print(f"smoke mode: gate not enforced — {f_}")
+        print("GENERALIZE SMOKE OK (plumbing only)")
+    elif failures:
+        for f_ in failures:
+            print(f"FAIL: {f_}")
+        sys.exit(1)
+    else:
+        print("GENERALIZE CHECK OK")
 
 
 if __name__ == "__main__":

@@ -73,8 +73,11 @@ def _served_fps(det, scans, max_batch, max_delay_ms, per_client):
         t.join()
     dt = time.perf_counter() - t0
     n = len(scans) * per_client
-    batches = server.stats["batches"] - base_batches
+    # stop() joins the dispatch thread; only then is stats['batches'] final
+    # (the thread resolves futures BEFORE bumping the counter, so reading
+    # at client-join can miss the last batch)
     server.stop()
+    batches = server.stats["batches"] - base_batches
     return n / dt, n / max(batches, 1)
 
 
@@ -86,7 +89,7 @@ def main():
     ap.add_argument("--max_delay_ms", type=float, default=3.0)
     ap.add_argument("--in_process", action="store_true",
                     help="batcher-overhead sweep vs the raw pipeline rate")
-    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = ap.parse_args()
 
     if args.platform:

@@ -145,8 +145,8 @@ def main(argv=None):
 
     # cap the lag below the epoch length: with steps_per_epoch <= lag the
     # within-epoch progress lines would always print a 0.0 loss (nothing
-    # drained yet)
-    max_inflight = max(1, min(8, steps_per_epoch - 1))
+    # drained yet). steps_per_epoch == 1 -> lag 0 (synchronous fetch).
+    max_inflight = max(0, min(8, steps_per_epoch - 1))
     profile = contextlib.ExitStack()  # jax.profiler trace around the loop
     if configs.runtime.profile_dir:
         profile.enter_context(jax.profiler.trace(configs.runtime.profile_dir))

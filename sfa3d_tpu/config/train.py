@@ -197,7 +197,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--platform", type=str, default=None,
-                   choices=[None, "cpu", "tpu"],
+                   choices=["cpu", "tpu"],
                    help="force a jax platform (cpu smoke runs)")
     return p
 

@@ -25,6 +25,11 @@ def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.flo
         return KFPN(num_layers=num_layers, head_conv=head_conv, dtype=dtype,
                     s2d_stem=s2d_stem)
     if arch.startswith("resnet"):
+        if s2d_stem:
+            raise ValueError(
+                "s2d_stem is only implemented for fpn_resnet_* archs; "
+                f"got arch={arch!r}"
+            )
         return DeconvCenterNet(num_layers=num_layers, head_conv=head_conv, dtype=dtype)
     raise ValueError(f"unknown arch: {arch}")
 

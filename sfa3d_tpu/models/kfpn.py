@@ -249,15 +249,17 @@ def convert_variables_to_s2d(variables):
     the exact space-to-depth weight transform (resnet.stem_kernel_to_s2d);
     BN params/stats and every other layer are untouched. Checkpoints stay
     in the standard layout; transform at load time."""
-    import copy
-
     from sfa3d_tpu.models.resnet import stem_kernel_to_s2d
 
-    params = copy.deepcopy(
-        jax.tree_util.tree_map(np.asarray, variables["params"])
-    )
+    # shallow-copy only the dicts along the stem path; every other leaf is
+    # shared with the input (the transform writes one (7,7,3,64) kernel —
+    # deep-copying ~15M params for that doubles load-time host memory)
+    params = dict(variables["params"])
+    params["backbone"] = dict(params["backbone"])
+    params["backbone"]["stem"] = dict(params["backbone"]["stem"])
+    params["backbone"]["stem"]["conv"] = dict(params["backbone"]["stem"]["conv"])
     params["backbone"]["stem"]["conv"]["kernel"] = stem_kernel_to_s2d(
-        params["backbone"]["stem"]["conv"]["kernel"]
+        np.asarray(params["backbone"]["stem"]["conv"]["kernel"])
     )
     out = {"params": params}
     for coll in variables:

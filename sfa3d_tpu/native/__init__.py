@@ -165,16 +165,12 @@ def filter_pad_points(
 def _warn_on_overflow(kept: int, max_points: int) -> None:
     """Truncation must never be silent (CLAUDE.md invariant): the kernels
     return the TOTAL in-range count, which exceeds max_points when a scan
-    overflows the fixed point budget."""
-    if kept > max_points:
-        import warnings
+    overflows the fixed point budget. One shared warning site with the
+    numpy fallback (ops/bev.py) so the messages cannot drift."""
+    # lazy import: ops.bev imports this module (lazily) for the fast path
+    from sfa3d_tpu.ops.bev import warn_point_overflow
 
-        warnings.warn(
-            f"scan has {kept} in-range points; keeping the first "
-            f"{max_points} (raise MAX_POINTS_FILTERED to keep all)",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    warn_point_overflow(kept, max_points)
 
 
 def read_velodyne_filtered(

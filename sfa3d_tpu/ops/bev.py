@@ -75,6 +75,24 @@ def filter_and_pad_points(
     return _filter_and_pad_numpy(points, max_points, boundary)
 
 
+def warn_point_overflow(n_in_range: int, max_points: int,
+                        stacklevel: int = 4) -> None:
+    """Truncation must never be silent (CLAUDE.md invariant). The single
+    warning site for the filter+pad paths — the native kernel and the numpy
+    fallback both report the TOTAL in-range count through here, so their
+    messages cannot drift apart. stacklevel=4 points at the caller of
+    filter_and_pad_points / native.filter_pad_points."""
+    if n_in_range > max_points:
+        import warnings
+
+        warnings.warn(
+            f"scan has {n_in_range} in-range points; keeping the first "
+            f"{max_points} (raise MAX_POINTS_FILTERED to keep all)",
+            RuntimeWarning,
+            stacklevel=stacklevel,
+        )
+
+
 def _filter_and_pad_numpy(
     points: np.ndarray, max_points: int, boundary: Dict[str, float]
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -88,15 +106,7 @@ def _filter_and_pad_numpy(
         & (points[:, 2] <= boundary["maxZ"])
     )
     in_range = points[mask]
-    if len(in_range) > max_points:
-        import warnings
-
-        warnings.warn(
-            f"scan has {len(in_range)} in-range points; keeping the first "
-            f"{max_points} (raise MAX_POINTS_FILTERED to keep all)",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    warn_point_overflow(len(in_range), max_points)
     kept = in_range[:max_points]
     out = np.zeros((max_points, 4), dtype=np.float32)
     out[: len(kept)] = kept

@@ -127,7 +127,9 @@ class BatchingDetectorServer:
         )
         np.asarray(out["mask"])  # force compile + execute
 
-    def stop(self, timeout: Optional[float] = 30.0):
+    _DEFAULT_STOP_TIMEOUT = object()  # sentinel: "caller didn't choose"
+
+    def stop(self, timeout=_DEFAULT_STOP_TIMEOUT):
         """Drain in-flight work, then stop the dispatch thread. If the
         dispatch thread fails to retire within `timeout` (e.g. a compile in
         flight), remaining requests are cancelled rather than left hanging.
@@ -136,11 +138,12 @@ class BatchingDetectorServer:
         can take 5-10 MINUTES (CLAUDE.md), far past the 30 s default — a
         stop during a first-request compile would cancel requests that were
         about to succeed. Call `warmup()` before traffic, or pass
-        `timeout=None` to wait for the drain unconditionally. When no
-        warmup ran, an un-warmed stop waits one compile budget (600 s)
-        instead of 30 s."""
-        if timeout is not None and timeout == 30.0 and not self._warmed:
-            timeout = 600.0  # one cold-compile budget; see docstring
+        `timeout=None` to wait for the drain unconditionally. When the
+        caller doesn't choose a timeout, the default is 30 s after warmup()
+        and one compile budget (600 s) otherwise; an EXPLICIT timeout —
+        even 30.0 — is always honored as given."""
+        if timeout is self._DEFAULT_STOP_TIMEOUT:
+            timeout = 30.0 if self._warmed else 600.0
         self._q.put(None)  # sentinel: finish everything queued before it
         self._thread.join(timeout=timeout)
         if self._thread.is_alive():

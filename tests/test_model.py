@@ -173,6 +173,14 @@ def test_deeper_arch_variants(arch):
         assert out[head].shape == (1, 16, 16, ch), (arch, head)
 
 
+def test_s2d_stem_rejected_for_deconv_arch():
+    """s2d_stem is a KFPN-only reformulation; silently ignoring it on the
+    deconv arch would hand a user an unmodified stem while they benchmark
+    'the s2d variant'."""
+    with pytest.raises(ValueError, match="s2d_stem"):
+        create_model("resnet_18", s2d_stem=True)
+
+
 def test_bottleneck_kfpn_works():
     """fpn_resnet_50: the torch reference CRASHES here (its lateral convs
     hardcode BasicBlock input widths, fpn_resnet.py:129-131, while
