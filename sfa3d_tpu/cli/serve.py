@@ -60,6 +60,10 @@ def _parse(argv):
                    help="ultralytics .pt for the fused 2D branch")
     p.add_argument("--warmup", action="store_true",
                    help="compile every batch bucket before accepting traffic")
+    p.add_argument("--artifact", default=None, metavar="PATH.sfa3dx",
+                   help="serve from an AOT export (cli export) instead of a "
+                        "checkpoint: no model rebuild, weights come baked "
+                        "into the StableHLO artifact")
     return p.parse_args(argv)
 
 
@@ -200,7 +204,20 @@ def main(argv=None):
         BatchingFusedServer,
     )
 
-    if args.fused:
+    if args.artifact:
+        if args.fused:
+            raise SystemExit(
+                "--artifact serves the LiDAR detector pipeline; fused "
+                "artifacts need per-request images+calib (use a checkpoint "
+                "with --fused)"
+            )
+        from sfa3d_tpu.detector import ArtifactDetector
+
+        det = ArtifactDetector(args.artifact)
+        server = BatchingDetectorServer(
+            det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+        )
+    elif args.fused:
         fd = FusedDetector(
             arch=args.arch, checkpoint=args.pretrained_path,
             yolo_checkpoint=args.yolo_checkpoint, K=args.K,

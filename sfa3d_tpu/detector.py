@@ -84,18 +84,28 @@ class Detector:
 
             self.variables = load_params_only(checkpoint)
 
-    def detect(self, points: np.ndarray) -> List[Dict]:
-        """(N, 4) raw velodyne scan -> list of detection dicts."""
+    def detect_batch(self, pts: np.ndarray, valid: np.ndarray) -> Dict:
+        """(B, P, 4) padded scans + (B, P) masks -> host dict with the
+        small output arrays only ('mask', 'boxes_real', 'detections').
+        One fetch per batch; the (B, 608, 608, 3) bev raster stays on
+        device — shipping it D2H costs ~4.4 MB/frame and was measured 3x
+        slower than sequential on the tunneled chip."""
         import jax.numpy as jnp
 
-        from sfa3d_tpu.ops.bev import filter_and_pad_points
         from sfa3d_tpu.pipeline import detect_frames
 
-        pts, valid = filter_and_pad_points(points, max_points=cnf.MAX_POINTS_FILTERED)
         out = detect_frames(
-            self.model, self.variables, jnp.asarray(pts[None]),
-            jnp.asarray(valid[None]), K=self.K, peak_thresh=self.peak_thresh,
+            self.model, self.variables, jnp.asarray(pts),
+            jnp.asarray(valid), K=self.K, peak_thresh=self.peak_thresh,
         )
+        return {k: np.asarray(out[k]) for k in ("mask", "boxes_real", "detections")}
+
+    def detect(self, points: np.ndarray) -> List[Dict]:
+        """(N, 4) raw velodyne scan -> list of detection dicts."""
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        pts, valid = filter_and_pad_points(points, max_points=cnf.MAX_POINTS_FILTERED)
+        out = self.detect_batch(pts[None], valid[None])
         return format_detections(out, 0)
 
     def detect_file(self, velodyne_bin: str) -> List[Dict]:
@@ -122,6 +132,60 @@ class Detector:
                     f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
                     f"{ry:.2f} {d['score']:.4f}\n"
                 )
+
+
+class ArtifactDetector:
+    """Detector facade over an AOT export (runtime/export.py): same
+    `detect`/`detect_batch`/`detect_file` surface as `Detector`, but the
+    compute comes from a serialized StableHLO artifact — no model code, no
+    checkpoint. Plugs straight into `BatchingDetectorServer` (`cli serve
+    --artifact model.sfa3dx`).
+
+    Requires a `kind == 'detector'` artifact; symbolic-batch artifacts
+    (the export default) serve every bucket size, fixed-batch artifacts
+    only their own."""
+
+    def __init__(self, path: str):
+        from sfa3d_tpu.runtime.export import load_exported
+
+        self.artifact = load_exported(path)
+        m = self.artifact.manifest
+        if m.get("kind") != "detector":
+            raise ValueError(
+                f"{path}: artifact kind {m.get('kind')!r} cannot back the "
+                "LiDAR detector server (need kind='detector'; fused "
+                "artifacts take images+calib per request)"
+            )
+        self.K = m["K"]
+        self.peak_thresh = m["peak_thresh"]
+        self.max_points = m["max_points"]
+        self.fixed_batch = m["batch"]  # None == symbolic
+
+    def detect_batch(self, pts: np.ndarray, valid: np.ndarray) -> Dict:
+        if pts.shape[1] != self.max_points:
+            raise ValueError(
+                f"artifact was exported for max_points={self.max_points}, "
+                f"got scans padded to {pts.shape[1]}"
+            )
+        if self.fixed_batch is not None and pts.shape[0] != self.fixed_batch:
+            raise ValueError(
+                f"fixed-batch artifact (batch={self.fixed_batch}) cannot "
+                f"run batch {pts.shape[0]}; re-export without --batch for a "
+                "symbolic-batch artifact"
+            )
+        out = self.artifact.call(pts.astype(np.float32), valid.astype(bool))
+        return {k: np.asarray(out[k]) for k in ("mask", "boxes_real", "detections")}
+
+    def detect(self, points: np.ndarray) -> List[Dict]:
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        pts, valid = filter_and_pad_points(points, max_points=self.max_points)
+        out = self.detect_batch(pts[None], valid[None])
+        return format_detections(out, 0)
+
+    def detect_file(self, velodyne_bin: str) -> List[Dict]:
+        points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)
+        return self.detect(points)
 
 
 class FusedDetector:

@@ -45,6 +45,9 @@ class BatchingDetectorServer:
 
     def __init__(self, detector, max_batch: int = 8, max_delay_ms: float = 5.0):
         self.det = detector
+        # ArtifactDetector carries its export-time point budget; live
+        # detectors use the production constant
+        self._P = getattr(detector, "max_points", cnf.MAX_POINTS_FILTERED)
         self.max_batch = max(1, int(max_batch))
         self.max_delay_s = max_delay_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -70,9 +73,7 @@ class BatchingDetectorServer:
         """(N, 4) raw velodyne scan -> Future of a detection-dict list."""
         from sfa3d_tpu.ops.bev import filter_and_pad_points
 
-        pts, valid = filter_and_pad_points(
-            points, max_points=cnf.MAX_POINTS_FILTERED
-        )
+        pts, valid = filter_and_pad_points(points, max_points=self._P)
         return self._enqueue(pts, valid)
 
     def _enqueue(self, pts, valid) -> Future:
@@ -87,7 +88,7 @@ class BatchingDetectorServer:
         from sfa3d_tpu import native
 
         res = native.read_velodyne_filtered(
-            velodyne_bin, cnf.MAX_POINTS_FILTERED, cnf.boundary
+            velodyne_bin, self._P, cnf.boundary
         )
         if res is not None:
             return self._enqueue(res[0], res[1])
@@ -113,19 +114,10 @@ class BatchingDetectorServer:
         self._warmed = True
 
     def _warm_bucket(self, bucket: int):
-        import jax.numpy as jnp
-
-        from sfa3d_tpu.config import kitti as cnf
-        from sfa3d_tpu.pipeline import detect_frames
-
-        P = cnf.MAX_POINTS_FILTERED
-        out = detect_frames(
-            self.det.model, self.det.variables,
-            jnp.zeros((bucket, P, 4), jnp.float32),
-            jnp.zeros((bucket, P), bool),
-            K=self.det.K, peak_thresh=self.det.peak_thresh,
-        )
-        np.asarray(out["mask"])  # force compile + execute
+        P = self._P
+        self.det.detect_batch(
+            np.zeros((bucket, P, 4), np.float32), np.zeros((bucket, P), bool)
+        )  # detect_batch fetches host arrays, forcing compile + execute
 
     _DEFAULT_STOP_TIMEOUT = object()  # sentinel: "caller didn't choose"
 
@@ -211,10 +203,7 @@ class BatchingDetectorServer:
                 return
 
     def _run_batch(self, batch):
-        import jax.numpy as jnp
-
         from sfa3d_tpu.detector import format_detections
-        from sfa3d_tpu.pipeline import detect_frames
 
         n = len(batch)
         bucket = min(_next_pow2(n), self.max_batch)
@@ -223,16 +212,11 @@ class BatchingDetectorServer:
         valid = np.zeros((bucket, P), bool)
         for i, (p, v, _) in enumerate(batch):
             pts[i], valid[i] = p, v
-        out = detect_frames(
-            self.det.model, self.det.variables, jnp.asarray(pts),
-            jnp.asarray(valid), K=self.det.K, peak_thresh=self.det.peak_thresh,
-        )
-        # one host fetch for the whole batch, then fan results out — ONLY
-        # the small detection arrays: fetching the (B, 608, 608, 3) bev
-        # raster too would ship ~4.4 MB/frame D2H per request (measured 3x
-        # SLOWER than sequential on the tunneled chip; the raster stays on
-        # device)
-        out = {k: np.asarray(out[k]) for k in ("mask", "boxes_real", "detections")}
+        # detect_batch fetches ONLY the small detection arrays in one host
+        # round trip; the (B, 608, 608, 3) bev raster stays on device
+        # (shipping it was measured 3x SLOWER than sequential on the
+        # tunneled chip at ~4.4 MB/frame D2H)
+        out = self.det.detect_batch(pts, valid)
         for i, (_, _, fut) in enumerate(batch):
             fut.set_result(format_detections(out, i))
         self.stats["served"] += n

@@ -143,6 +143,56 @@ def test_cli_export_entry(tmp_path):
     assert np.asarray(outd["detections"]).shape == (1, 10, 10)
 
 
+def test_artifact_backs_batching_server(det, tmp_path):
+    """End-to-end deployment story: export -> ArtifactDetector ->
+    BatchingDetectorServer. Server results must equal the artifact called
+    directly (same compiled program, so identity, not tolerance)."""
+    from sfa3d_tpu.detector import ArtifactDetector, format_detections
+    from sfa3d_tpu.runtime.serving import BatchingDetectorServer
+
+    model, variables = det
+    exported, manifest = export_detector(
+        model, variables, max_points=MAXP, batch=None, peak_thresh=0.0
+    )
+    path = str(tmp_path / "serve.sfa3dx")
+    save_exported(path, exported, manifest)
+
+    ad = ArtifactDetector(path)
+    assert ad.max_points == MAXP and ad.fixed_batch is None
+    server = BatchingDetectorServer(ad, max_batch=4, max_delay_ms=2.0)
+    try:
+        scans = [synthetic_scene(np.random.default_rng(40 + i))[0]
+                 for i in range(4)]
+        futs = [server.submit(s) for s in scans]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        server.stop()
+
+    for scan, dets in zip(scans, got):
+        want = ad.detect(scan)
+        assert dets == want, "served result != direct artifact result"
+    assert any(len(d) for d in got), "peak_thresh=0 should yield detections"
+
+
+def test_artifact_detector_rejects_fused_kind(det, tmp_path):
+    from sfa3d_tpu.models.yolov8 import YOLOv8
+    from sfa3d_tpu.detector import ArtifactDetector
+
+    model, variables = det
+    yolo = YOLOv8(scale="n")
+    yvars = yolo.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    exported, manifest = export_fused(
+        model, variables, yolo, yvars,
+        batch=1, max_points=MAXP, img_hw=(48, 64), letterbox=64,
+        K=10, max_yolo=10,
+    )
+    path = str(tmp_path / "fused2.sfa3dx")
+    save_exported(path, exported, manifest)
+    with pytest.raises(ValueError, match="kind"):
+        ArtifactDetector(path)
+
+
 def test_enable_compilation_cache(tmp_path):
     cache_dir = str(tmp_path / "xla_cache")
     got = enable_compilation_cache(cache_dir)
