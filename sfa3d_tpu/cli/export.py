@@ -32,6 +32,12 @@ def build_parser():
     p.add_argument("--peak_thresh", type=float, default=0.2)
     p.add_argument("--batch", type=int, default=None,
                    help="fixed batch size; default: symbolic (any batch)")
+    p.add_argument("--max_points", type=int, default=None,
+                   help="per-scan point budget baked into the artifact "
+                        "(default: MAX_POINTS_FILTERED=32768, the "
+                        "host-filtered budget every serving path pads to; "
+                        "pass MAX_POINTS=65536 only if you will feed raw "
+                        "UNFILTERED clouds — doubles H2D and raster cost)")
     p.add_argument("--platforms", type=str, default=None,
                    help="comma list of lowering platforms, e.g. tpu or "
                         "tpu,cpu; default: the current jax backend")
@@ -60,7 +66,10 @@ def main(argv=None):
         export_detector, export_fused, save_exported,
     )
 
+    import sfa3d_tpu.config.kitti as cnf
+
     platforms = args.platforms.split(",") if args.platforms else None
+    max_points = args.max_points or cnf.MAX_POINTS_FILTERED
     model = create_model(args.arch)
     variables = load_variables(args.pretrained_path, args.arch, model=model)
 
@@ -83,12 +92,12 @@ def main(argv=None):
             )
         exported, manifest = export_fused(
             model, variables, yolo, yolo_vars,
-            batch=args.batch, platforms=platforms,
+            batch=args.batch, platforms=platforms, max_points=max_points,
         )
     else:
         exported, manifest = export_detector(
             model, variables, K=args.K, peak_thresh=args.peak_thresh,
-            batch=args.batch, platforms=platforms,
+            batch=args.batch, platforms=platforms, max_points=max_points,
         )
 
     save_exported(args.out, exported, manifest)

@@ -211,6 +211,23 @@ def main(argv=None):
                 "artifacts need per-request images+calib (use a checkpoint "
                 "with --fused)"
             )
+        # the artifact bakes in model/K/peak_thresh; flags that would pick
+        # them are dead here — warn so operators aren't misled
+        ignored = [(f, v) for f, v in [
+            ("--pretrained_path", args.pretrained_path),
+            ("--arch", args.arch if args.arch != "fpn_resnet_18" else None),
+            ("--K", args.K if args.K != 50 else None),
+            ("--peak_thresh",
+             args.peak_thresh if args.peak_thresh != 0.2 else None),
+            ("--dtype", args.dtype if args.dtype != "float32" else None),
+        ] if v is not None]
+        for flag, _ in ignored:
+            print(
+                f"serving: {flag} is IGNORED with --artifact — the value "
+                "baked into the artifact manifest applies (re-export to "
+                "change it)",
+                file=sys.stderr,
+            )
         from sfa3d_tpu.detector import ArtifactDetector
 
         det = ArtifactDetector(args.artifact)

@@ -142,8 +142,9 @@ class ArtifactDetector:
     --artifact model.sfa3dx`).
 
     Requires a `kind == 'detector'` artifact; symbolic-batch artifacts
-    (the export default) serve every bucket size, fixed-batch artifacts
-    only their own."""
+    (the export default) serve every bucket size, while fixed-batch
+    artifacts are served by padding every device batch up to their one
+    size (BatchingDetectorServer handles this and clamps max_batch)."""
 
     def __init__(self, path: str):
         from sfa3d_tpu.runtime.export import load_exported

@@ -48,6 +48,16 @@ class BatchingDetectorServer:
         # ArtifactDetector carries its export-time point budget; live
         # detectors use the production constant
         self._P = getattr(detector, "max_points", cnf.MAX_POINTS_FILTERED)
+        # a fixed-batch artifact runs exactly ONE batch size: every bucket
+        # is padded to it, and max_batch can't exceed it
+        self._fixed_bucket = getattr(detector, "fixed_batch", None)
+        if self._fixed_bucket is not None and max_batch > self._fixed_bucket:
+            print(
+                f"serving: clamping max_batch {max_batch} -> "
+                f"{self._fixed_bucket} (fixed-batch artifact)",
+                file=sys.stderr,
+            )
+            max_batch = self._fixed_bucket
         self.max_batch = max(1, int(max_batch))
         self.max_delay_s = max_delay_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -102,12 +112,15 @@ class BatchingDetectorServer:
         full XLA compile time (tens of seconds on a cold chip). Safe to
         call while traffic flows: warm compiles serialize with dispatch on
         the device lock."""
-        buckets = []
-        b = 1
-        while b < self.max_batch:
-            buckets.append(b)
-            b *= 2
-        buckets.append(self.max_batch)
+        if self._fixed_bucket is not None:
+            buckets = [self._fixed_bucket]  # the only size that can run
+        else:
+            buckets = []
+            b = 1
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_batch)
         for b in buckets:
             with self._device_lock:
                 self._warm_bucket(b)
@@ -206,7 +219,10 @@ class BatchingDetectorServer:
         from sfa3d_tpu.detector import format_detections
 
         n = len(batch)
-        bucket = min(_next_pow2(n), self.max_batch)
+        if self._fixed_bucket is not None:
+            bucket = self._fixed_bucket  # pad up: the artifact's only size
+        else:
+            bucket = min(_next_pow2(n), self.max_batch)
         P = batch[0][0].shape[0]
         pts = np.zeros((bucket, P, 4), np.float32)
         valid = np.zeros((bucket, P), bool)

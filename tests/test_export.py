@@ -145,9 +145,11 @@ def test_cli_export_entry(tmp_path):
 
 def test_artifact_backs_batching_server(det, tmp_path):
     """End-to-end deployment story: export -> ArtifactDetector ->
-    BatchingDetectorServer. Server results must equal the artifact called
-    directly (same compiled program, so identity, not tolerance)."""
-    from sfa3d_tpu.detector import ArtifactDetector, format_detections
+    BatchingDetectorServer. Served results must match the artifact called
+    directly to 1e-4: a symbolic-batch Exported re-compiles per concrete
+    bucket size, and batch padding may change XLA fusion order, so bit
+    equality is not guaranteed (same caveat as tests/test_serving.py)."""
+    from sfa3d_tpu.detector import ArtifactDetector
     from sfa3d_tpu.runtime.serving import BatchingDetectorServer
 
     model, variables = det
@@ -170,8 +172,40 @@ def test_artifact_backs_batching_server(det, tmp_path):
 
     for scan, dets in zip(scans, got):
         want = ad.detect(scan)
-        assert dets == want, "served result != direct artifact result"
+        assert len(dets) == len(want)
+        for da, db in zip(dets, want):
+            assert da["class_id"] == db["class_id"]
+            for k in ("score", "x", "y", "z", "h", "w", "l", "yaw"):
+                assert abs(da[k] - db[k]) <= 1e-4, (k, da, db)
     assert any(len(d) for d in got), "peak_thresh=0 should yield detections"
+
+
+def test_fixed_batch_artifact_served_by_padding(det, tmp_path):
+    """A fixed-batch artifact has exactly one runnable batch size: the
+    server must clamp max_batch to it, warm only that bucket, and pad
+    every partial batch up to it (2 requests through a batch-4 artifact)."""
+    from sfa3d_tpu.detector import ArtifactDetector
+    from sfa3d_tpu.runtime.serving import BatchingDetectorServer
+
+    model, variables = det
+    exported, manifest = export_detector(
+        model, variables, max_points=MAXP, batch=4, peak_thresh=0.0
+    )
+    path = str(tmp_path / "fixed4.sfa3dx")
+    save_exported(path, exported, manifest)
+
+    ad = ArtifactDetector(path)
+    server = BatchingDetectorServer(ad, max_batch=8, max_delay_ms=2.0)
+    try:
+        assert server.max_batch == 4  # clamped to the artifact's size
+        server.warmup()  # must not raise (warms only bucket 4)
+        futs = [server.submit(synthetic_scene(np.random.default_rng(60 + i))[0])
+                for i in range(2)]
+        got = [f.result(timeout=600) for f in futs]
+    finally:
+        server.stop()
+    assert len(got) == 2 and all(isinstance(d, list) for d in got)
+    assert server.stats["padded"] >= 2  # partial batches padded up to 4
 
 
 def test_artifact_detector_rejects_fused_kind(det, tmp_path):
