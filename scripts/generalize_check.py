@@ -79,6 +79,10 @@ def main():
                          "lands (default: epochs//3 rounded to a checkpoint; "
                          "0 disables the kill)")
     ap.add_argument("--min_final_easy", type=float, default=0.5)
+    ap.add_argument("--data_seed", type=int, default=0,
+                    help="seed for the synthetic scene population — a "
+                         "different seed replicates the experiment on a "
+                         "disjoint dataset")
     ap.add_argument("--smoke", action="store_true",
                     help="plumbing-only run: report the accuracy gates but "
                          "exit 0 even if they fail")
@@ -100,7 +104,7 @@ def main():
     print(f"writing {n} synthetic scenes ({args.frames_train} train / "
           f"{args.frames_val} HELD-OUT val) under {root}")
     write_mini_kitti(
-        root, n_frames=n,
+        root, n_frames=n, seed=args.data_seed,
         splits={"train": range(args.frames_train),
                 "val": range(args.frames_train, n),
                 "test": range(args.frames_train, n)},
