@@ -22,16 +22,24 @@ def parse_args(argv=None):
     p.add_argument("--peak_thresh", type=float, default=0.2)
     p.add_argument("--metric", type=str, default="3d", choices=["3d", "bev"])
     p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu"],
+                   help="force a jax platform (the axon plugin ignores "
+                        "JAX_PLATFORMS; this uses the config flag, which wins)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
     from sfa3d_tpu.data.kitti import KittiDataset
     from sfa3d_tpu.eval import evaluate_kitti_ap, evaluate_kitti_ap_by_difficulty
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.pipeline import detect_frames
-
-    args = parse_args(argv)
     model = create_model(args.arch)
     variables = load_variables(args.pretrained_path, args.arch, model)
 
