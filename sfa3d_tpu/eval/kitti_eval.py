@@ -39,32 +39,54 @@ def _pad_rows(a, n):
     return out
 
 
-def _match_frame(det_boxes, det_scores, gt_boxes, iou_thresh, metric):
-    """Greedy matching of one frame's detections to GT. Returns
-    (K,) int match indices into gt (-1 = unmatched)."""
+def _frame_iou(det_boxes, gt_boxes, metric):
+    """Pairwise (nd, ng) IoU for one frame's detections vs GT — the one
+    device call per (frame, class); every difficulty bucket reuses it."""
     nd, ng = len(det_boxes), len(gt_boxes)
     if nd == 0 or ng == 0:
-        return np.full(nd, -1, np.int64)
+        return np.zeros((nd, ng), np.float32)
     # pad to a fixed shape: per-frame ragged (nd, ng) would recompile the
     # jitted pairwise kernels for every distinct size pair
     pad = max(_PAD, nd, ng)
     dpad = _pad_rows(np.asarray(det_boxes, np.float32), pad)
     gpad = _pad_rows(np.asarray(gt_boxes, np.float32), pad)
     if metric == "3d":
-        iou = np.asarray(pairwise_iou_3d(dpad, gpad))[:nd, :ng]
-    else:
-        iou = np.asarray(
-            pairwise_iou_bev_rotated(dpad[:, [0, 1, 4, 5, 6]], gpad[:, [0, 1, 4, 5, 6]])
-        )[:nd, :ng]
-    order = np.argsort(-det_scores)
-    gt_used = np.zeros(ng, bool)
+        return np.asarray(pairwise_iou_3d(dpad, gpad))[:nd, :ng]
+    return np.asarray(
+        pairwise_iou_bev_rotated(dpad[:, [0, 1, 4, 5, 6]], gpad[:, [0, 1, 4, 5, 6]])
+    )[:nd, :ng]
+
+
+def _match_bucket(iou, det_scores, countable, iou_thresh):
+    """Greedy per-bucket matching (KITTI devkit protocol): descending by
+    score, each detection first claims its best unused COUNTABLE GT above
+    threshold; only if none qualifies may it claim an ignored
+    (out-of-bucket) GT, which removes it from the PR curve (not TP, not
+    FP). Matching globally without this preference deflates easier-bucket
+    recall whenever a detection's single best overlap is a harder GT.
+
+    Returns (match_idx (nd,), matched_to_ignored (nd,) bool)."""
+    nd, ng = iou.shape
     match = np.full(nd, -1, np.int64)
-    for i in order:
-        j = int(np.argmax(np.where(gt_used, -1.0, iou[i])))
-        if not gt_used[j] and iou[i, j] >= iou_thresh:
+    to_ignored = np.zeros(nd, bool)
+    if ng == 0:
+        return match, to_ignored
+    gt_used = np.zeros(ng, bool)
+    for i in np.argsort(-det_scores):
+        cand = np.where(gt_used, -1.0, iou[i])
+        cc = np.where(countable, cand, -1.0)
+        j = int(np.argmax(cc))
+        if cc[j] >= iou_thresh:
             match[i] = j
             gt_used[j] = True
-    return match
+            continue
+        ci = np.where(countable, -1.0, cand)
+        j = int(np.argmax(ci))
+        if ci[j] >= iou_thresh:
+            match[i] = j
+            gt_used[j] = True
+            to_ignored[i] = True
+    return match, to_ignored
 
 
 DIFFICULTY_NAMES = {1: "Easy", 2: "Moderate", 3: "Hard"}
@@ -103,9 +125,9 @@ def evaluate_kitti_ap(
 
 def _collect_matches(detections, ground_truths, num_classes, metric,
                      iou_thresholds):
-    """Run the (device-IoU) greedy matching ONCE per (frame, class) — the
-    difficulty buckets only change which GT are countable, so all four AP
-    tables re-score the same matches."""
+    """Compute the (device) pairwise IoUs ONCE per (frame, class); the
+    difficulty buckets each run their own cheap greedy matching over the
+    cached matrix (countable-GT preference differs per bucket)."""
     assert len(detections) == len(ground_truths)
     per_class: Dict[int, List] = {cls: [] for cls in range(num_classes)}
     for det, gt in zip(detections, ground_truths):
@@ -117,12 +139,13 @@ def _collect_matches(detections, ground_truths, num_classes, metric,
             gm = gt_classes == cls
             det_scores = np.asarray(det["scores"], np.float32)[dm]
             gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
-            match = _match_frame(
-                np.asarray(det["boxes"], np.float32)[dm], det_scores,
-                gt_boxes, iou_thresholds[cls], metric,
+            iou = _frame_iou(
+                np.asarray(det["boxes"], np.float32)[dm], gt_boxes, metric
             )
             levels = levels_all[gm] if levels_all is not None else None
-            per_class[cls].append((det_scores, match, len(gt_boxes), levels))
+            per_class[cls].append(
+                (det_scores, iou, iou_thresholds[cls], len(gt_boxes), levels)
+            )
     return per_class
 
 
@@ -133,18 +156,15 @@ def _score_bucket(per_class, num_classes, difficulty):
         scores_all: List[np.ndarray] = []
         tp_all: List[np.ndarray] = []
         n_gt = 0
-        for det_scores, match, ng, levels in per_class[cls]:
+        for det_scores, iou, thresh, ng, levels in per_class[cls]:
             if difficulty is not None and levels is not None:
                 countable = levels <= difficulty
             else:
                 countable = np.ones(ng, bool)
             n_gt += int(countable.sum())
-            if ng:
-                # detections matched to an out-of-bucket GT are dropped from
-                # the PR curve entirely (KITTI "ignored": not FP, not TP)
-                ignored = (match >= 0) & ~countable[np.maximum(match, 0)]
-            else:
-                ignored = np.zeros(len(match), bool)  # all unmatched -> FP
+            match, ignored = _match_bucket(iou, det_scores, countable, thresh)
+            # detections matched to an out-of-bucket GT are dropped from
+            # the PR curve entirely (KITTI "ignored": not FP, not TP)
             scores_all.append(det_scores[~ignored])
             tp_all.append((match >= 0)[~ignored])
         scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
@@ -172,8 +192,9 @@ def evaluate_kitti_ap_by_difficulty(
     iou_thresholds: Optional[Dict[int, float]] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Easy/Moderate/Hard AP table — the shape of the reference's published
-    results (/root/reference/README.md:223-226). Matching runs once; the
-    three buckets re-score the same matches."""
+    results (/root/reference/README.md:223-226). Pairwise IoUs are computed
+    once (device); each bucket runs its own greedy matching with
+    countable-GT preference over the cached matrices."""
     matches = _collect_matches(
         detections, ground_truths, num_classes, metric,
         iou_thresholds or CLASS_IOU_THRESH,

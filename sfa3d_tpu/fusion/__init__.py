@@ -12,6 +12,11 @@ fusion cascade jits and batches:
                                         (fusion/fuse.py)
 """
 
+# one capacity constant for YOLO detection slots, shared by the host
+# per-frame pipeline (fusion/pipeline.py) and the batched jit pipeline
+# (fusion/batch.py) so the two implementations of the same cascade agree
+DEFAULT_MAX_YOLO = 64
+
 from sfa3d_tpu.fusion.iou import pairwise_iou_xywh, iou_xywh
 from sfa3d_tpu.fusion.boxes2d import project_boxes_to_image
 from sfa3d_tpu.fusion.nms import hard_nms, soft_nms_gaussian

@@ -107,7 +107,7 @@ def build_fused_pipeline(
     yolo_model,
     *,
     K: int = 50,
-    max_yolo: int = 50,
+    max_yolo: int = 64,  # == fusion.DEFAULT_MAX_YOLO (host-pipeline parity)
     mode: str = "bayesian",
     use_gaussian_nms: bool = True,
     peak_thresh: float = 0.2,

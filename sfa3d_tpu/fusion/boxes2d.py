@@ -53,6 +53,15 @@ def project_boxes_to_image(
     uvw = jnp.einsum("ij,kcj->kci", jnp.asarray(P2, jnp.float32), corners)  # (K,8,3)
     uv = uvw[..., :2] / uvw[..., 2:3]
 
+    # Corners AT or BEHIND the image plane (camera z <= ~0) flip sign under
+    # the perspective divide and would span a spurious near-full-image box
+    # that passes the area gate with the detection's real score. Drop such
+    # detections outright — a box that close to the camera has no valid
+    # image-plane AABB. (Divergence from the reference, which shares this
+    # flaw: test6.py:129-186 projects without any depth check; documented
+    # in docs/TECHNICAL.md.)
+    in_front = jnp.all(uvw[..., 2] > 0.1, axis=-1)  # (K,)
+
     w_lim = jnp.asarray(img_w, jnp.float32)
     h_lim = jnp.asarray(img_h, jnp.float32)
     min_x = jnp.clip(jnp.min(uv[..., 0], axis=-1), 0.0, None)
@@ -60,7 +69,8 @@ def project_boxes_to_image(
     min_y = jnp.clip(jnp.min(uv[..., 1], axis=-1), 0.0, None)
     max_y = jnp.clip(jnp.max(uv[..., 1], axis=-1), None, h_lim)
 
-    valid = mask & (scores >= conf_gate) & (max_x > min_x) & (max_y > min_y)
+    valid = (mask & in_front & (scores >= conf_gate)
+             & (max_x > min_x) & (max_y > min_y))
     boxes2d = jnp.stack(
         [
             jnp.trunc(min_x),

@@ -46,7 +46,7 @@ def fuse_frame(
     use_gaussian_nms: bool = False,
     gaussian_sigma: float = 0.5,
     sfa_conf_gate: float = 0.3,
-    max_yolo: int = 64,
+    max_yolo: int = 64,  # == fusion.DEFAULT_MAX_YOLO (batched-pipeline parity)
 ) -> Dict[str, np.ndarray]:
     """Fuse one frame's detections.
 
@@ -90,6 +90,16 @@ def fuse_frame(
     yc = np.zeros((ky,), np.int32)
     yv = np.zeros((ky,), bool)
     n = min(len(yolo_boxes_xywh), ky)
+    if len(yolo_boxes_xywh) > ky:
+        import warnings
+
+        warnings.warn(
+            f"fuse_frame: {len(yolo_boxes_xywh)} YOLO detections exceed the "
+            f"{ky} fixed slots; keeping the first {ky} (sort by confidence "
+            "or raise max_yolo)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if n:
         yb[:n] = np.asarray(yolo_boxes_xywh, np.float32)[:n]
         ys[:n] = np.asarray(yolo_scores, np.float32)[:n]

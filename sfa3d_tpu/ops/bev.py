@@ -141,6 +141,25 @@ def points_to_bev(
     """
     min_x, max_x, min_y, max_y, min_z, max_z = bound
     discretization = (max_x - min_x) / bev_height
+    # The reference col formula below (floor(y/disc) + W//2,
+    # kitti_bev_utils.py:27-29) encodes TWO assumptions: the Y range is
+    # symmetric about 0, and X and Y share one cell size. `bound` is a
+    # public static parameter, so enforce them at trace time — an
+    # asymmetric/anisotropic boundary would otherwise silently shift and
+    # crop the raster. (Kept in the reference's exact form rather than the
+    # general floor((y-minY)/disc_y): the two differ by float ulps on
+    # cell-edge points, which would perturb bit-parity with the reference.)
+    if abs(min_y + max_y) > 1e-9:
+        raise ValueError(
+            f"points_to_bev requires a symmetric Y boundary (minY == -maxY); "
+            f"got minY={min_y}, maxY={max_y}"
+        )
+    if abs((max_y - min_y) / bev_width - discretization) > 1e-12:
+        raise ValueError(
+            "points_to_bev requires square cells: (maxY-minY)/bev_width must "
+            f"equal (maxX-minX)/bev_height; got {(max_y - min_y) / bev_width} "
+            f"vs {discretization}"
+        )
     x, y, z, r = points[:, 0], points[:, 1], points[:, 2], points[:, 3]
     # NaN coordinates fail the range comparisons below and drop out, but a
     # NaN intensity on an otherwise-valid point would poison the packed key:

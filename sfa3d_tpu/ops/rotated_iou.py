@@ -60,7 +60,12 @@ def _clip_by_halfplane(verts, n, a, b):
     active = idx < n
 
     denom = s_cur - s_nxt
-    t = s_cur / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    # sign-PRESERVING degeneracy clamp: replacing a tiny negative denom
+    # with +1e-12 would flip t's sign and extrapolate the intersection
+    # off the segment for near-collinear edges
+    safe = jnp.where(jnp.abs(denom) > 1e-12,
+                     denom, jnp.where(denom < 0, -1e-12, 1e-12))
+    t = s_cur / safe
     inter = cur + (nx - cur) * t[:, None]
 
     # each active edge emits up to 2 points: current (if inside) and the

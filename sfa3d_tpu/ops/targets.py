@@ -134,6 +134,20 @@ def build_targets(
     center = jnp.stack([center_x, center_y], axis=-1)  # (M, 2)
     center_int = center.astype(jnp.int32)  # truncation == reference astype
 
+    # A label EXACTLY on the max boundary (in_bounds is inclusive) lands on
+    # the guard cell center == hm size (or < 0 after hflip), which the
+    # raster also drops; without this gate indices_center would address the
+    # wrong head pixel (the reference IndexErrors on the same edge case).
+    # Gate on the FLOAT center: int32 truncation rounds toward zero, so a
+    # center in (-1, 0) would otherwise slip into cell 0 with a bogus
+    # offset target.
+    in_grid = (
+        (center[:, 0] >= 0) & (center[:, 0] < hm_w)
+        & (center[:, 1] >= 0) & (center[:, 1] < hm_h)
+    )
+    is_pos = is_pos & in_grid
+    is_ignore = is_ignore & in_grid
+
     # --- heatmap: per-object full-grid Gaussian, max-combined per class ---
     splat = jax.vmap(lambda ci, r: _gaussian_splat(ci, r, hm_h, hm_w))(
         center_int, radius

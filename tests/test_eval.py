@@ -44,6 +44,12 @@ def mc_iou_bev(b1, b2, n=200000, rng=None):
     ([0, 0, 2, 4, 0.3], [0, 0, 2, 4, 0.3], 1.0),
     # disjoint
     ([0, 0, 2, 4, 0.0], [10, 10, 2, 4, 0.0], 0.0),
+    # sharing exactly one edge (touching, zero overlap): exercises the
+    # near-collinear clip path where a sign-flipped degeneracy clamp
+    # would extrapolate intersection points off the segment
+    ([0, 0, 2, 4, 0.0], [4.0, 0, 2, 4, 0.0], 0.0),
+    # axis-aligned half overlap through the same collinear-edge path
+    ([0, 0, 2, 4, 0.0], [2.0, 0, 2, 4, 0.0], 1.0 / 3.0),
 ])
 def test_rotated_iou_exact_cases(case):
     b1, b2, expect = case
@@ -162,6 +168,36 @@ def _expected_recall_ap(tp, n_gt):
     """AP_R40 for a single clean TP out of n_gt (precision 1 up to recall
     tp/n_gt, 0 beyond)."""
     return sum(1.0 for r in np.linspace(0.025, 1.0, 40) if r <= tp / n_gt) / 40.0
+
+
+def test_bucket_matching_prefers_countable_gt():
+    """KITTI devkit protocol: matching is per-bucket with countable-GT
+    preference. A detection whose single BEST overlap is a harder
+    (ignored) GT must still match an overlapping countable GT in the
+    easier bucket — global one-pass matching would ignore the detection
+    AND leave the Easy GT unmatched, deflating Easy AP to 0."""
+    from sfa3d_tpu.eval import evaluate_kitti_ap_by_difficulty
+
+    gt = {
+        # two overlapping cars: Easy at x=10, Hard at x=10.4
+        "boxes": np.asarray([_car_box(10.0), _car_box(10.4)], np.float32),
+        "classes": np.asarray([1, 1]),
+        "difficulty": np.asarray([1, 3]),
+    }
+    det = {
+        # IoU ~0.95 with the Hard GT, ~0.86 with the Easy GT (both > 0.7)
+        "boxes": np.asarray([_car_box(10.3)], np.float32),
+        "scores": np.asarray([0.9], np.float32),
+        "classes": np.asarray([1]),
+    }
+    table = evaluate_kitti_ap_by_difficulty([det], [gt])
+    # Easy: only the Easy GT counts; the det must match it -> perfect AP
+    assert table["Easy"]["AP_1"] == pytest.approx(1.0, abs=1e-6)
+    # Hard: both count; the det takes its best (Hard) match, the Easy GT
+    # stays unmatched -> recall tops out at 1/2
+    assert table["Hard"]["AP_1"] == pytest.approx(
+        _expected_recall_ap(1, 2), abs=1e-6
+    )
 
 
 def test_detection_with_zero_gt_of_class_is_fp_not_crash():

@@ -184,6 +184,33 @@ def test_soft_nms_decays_overlapping(rng):
     assert out[3] == 0.0 and not bool(np.asarray(surv)[3])
 
 
+def test_behind_camera_detection_dropped(rng):
+    """A 3D box with corners at/behind the camera plane must be INVALID:
+    the perspective divide flips sign for z<=0 corners and would span a
+    spurious near-full-image 2D box with the detection's real score
+    (divergence from the reference, which projects it — TECHNICAL.md)."""
+    from sfa3d_tpu.fusion.boxes2d import project_boxes_to_image
+    from sfa3d_tpu.config import kitti as cnf
+
+    k = 4
+    boxes = np.zeros((k, 8), np.float32)
+    # row 0: box hugging the sensor — rear corners land behind the camera
+    boxes[0] = [1, 1.2, 0.0, -1.7, 1.5, 1.6, 3.9, 0.0]
+    # row 1: normal box well in front
+    boxes[1] = [1, 15.0, 0.0, -1.7, 1.5, 1.6, 3.9, 0.0]
+    scores = np.asarray([0.9, 0.9, 0, 0], np.float32)
+    mask = np.asarray([True, True, False, False])
+
+    b2d, valid = project_boxes_to_image(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(mask),
+        jnp.asarray(cnf.Tr_velo_to_cam[:3]), jnp.asarray(cnf.R0[:3, :3]),
+        jnp.asarray(cnf.P2[:3]), img_h=375, img_w=1242, conf_gate=0.3,
+    )
+    valid = np.asarray(valid)
+    assert not valid[0], "behind-camera box must be dropped"
+    assert valid[1], "normal box must survive"
+
+
 def test_projection_matches_reference_recipe(rng):
     """project_boxes_to_image vs a numpy oracle following test6.py:129-186."""
     from sfa3d_tpu.fusion.boxes2d import project_boxes_to_image

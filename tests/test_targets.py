@@ -120,6 +120,27 @@ def test_targets_out_of_bounds_and_ignore(rng):
     np.testing.assert_array_equal(np.asarray(ours["obj_mask"]), ref["obj_mask"].astype(np.float32))
 
 
+def test_label_exactly_on_max_boundary_is_dropped(rng):
+    """x==maxX / y==maxY pass the inclusive range check but land on the
+    guard cell (center_int == hm size; -1 under hflip) the raster also
+    drops. Such labels must not become positives with a wrong/overflowing
+    indices_center (the reference IndexErrors on this edge)."""
+    import sfa3d_tpu.config.kitti as cnf
+
+    labels = random_labels(rng, 4)
+    labels[0, 1] = cnf.boundary["maxX"]  # center row == hm_h
+    labels[1, 2] = cnf.boundary["maxY"]  # center col == hm_w
+    padded = np.zeros((50, 8), dtype=np.float32)
+    padded[:4] = labels
+    for hflip in (False, True):
+        ours = build_targets(padded, np.int32(4), np.bool_(hflip))
+        obj_mask = np.asarray(ours["obj_mask"])
+        assert obj_mask[0] == 0.0 and obj_mask[1] == 0.0, hflip
+        idx = np.asarray(ours["indices_center"])
+        hm_cells = ours["hm_cen"].shape[0] * ours["hm_cen"].shape[1]
+        assert (idx >= 0).all() and (idx < hm_cells).all()
+
+
 @pytest.mark.skipif(not ref_loader.available(), reason="reference tree absent")
 def test_compute_radius_matches(rng):
     kdu = ref_loader.load("data_process.kitti_data_utils")
