@@ -126,7 +126,11 @@ def main(argv=None):
     eval_step = make_eval_step(model, mesh)
 
     if configs.runtime.evaluate:
-        val_loss = validate(create_val_loader(configs), state, eval_step, mesh)
+        val_loss = validate(
+            create_val_loader(configs, process_index=jax.process_index(),
+                              process_count=jax.process_count()),
+            state, eval_step, mesh,
+        )
         logger.info(f"val_loss: {val_loss:.4e}")
         return
 
@@ -185,7 +189,11 @@ def main(argv=None):
         logger.info(progress.get_message(steps_per_epoch - 1))
 
         if (not configs.runtime.no_val) and epoch % configs.runtime.checkpoint_freq == 0:
-            val_loss = validate(create_val_loader(configs), state, eval_step, mesh)
+            val_loss = validate(
+                create_val_loader(configs, process_index=jax.process_index(),
+                                  process_count=jax.process_count()),
+                state, eval_step, mesh,
+            )
             logger.info(f"val_loss: {val_loss:.4e}")
             if tb_writer is not None:
                 tb_writer.add_scalar("Val_loss", val_loss, epoch)

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from sfa3d_tpu.config import argoverse as acnf
+from sfa3d_tpu.data.loader import KittiTrainLoader
 from sfa3d_tpu.geometry.argoverse_calib import ArgoverseCalibration
 from sfa3d_tpu.geometry.se3 import quat2rotmat, yaw_from_quaternion
 
@@ -149,8 +150,11 @@ class ArgoverseDataset:
             q = obj["rotation"]
             if isinstance(q, dict):
                 q = q["coefficients"]
-            # stored (qx, qy, qz, qw); yaw about +z (argoverse_dataset.py:144-148)
-            yaw = yaw_from_quaternion([q[3], q[0], q[1], q[2]])
+            # Real Argoverse labels store quaternions SCALAR-FIRST (w,x,y,z)
+            # like argoverse-api; the reference's argoverse_dataset.py:142-148
+            # misreads them as (x,y,z,w) — documented divergence, see
+            # docs/TECHNICAL.md. yaw about +z.
+            yaw = yaw_from_quaternion(q)
             rows.append([cls_id, x, y, z, h, w, l, yaw])
         return np.asarray(rows, np.float32) if rows else np.zeros((0, 8), np.float32)
 
@@ -175,25 +179,23 @@ class ArgoverseDataset:
         )
 
 
-class ArgoverseTrainLoader:
+class ArgoverseTrainLoader(KittiTrainLoader):
     """Batched loader for the Argoverse pipeline (argoverse_dataloader.py
-    parity): a KittiTrainLoader parameterized with the Argoverse prepare
-    function (Argoverse raster + center crop + geometry-matched targets),
-    so sampler/collate/tail/process-sharding behavior stays identical
-    across datasets."""
+    parity): a KittiTrainLoader subclass parameterized with the Argoverse
+    prepare function (Argoverse raster + center crop + geometry-matched
+    targets), so sampler/collate/tail/process-sharding behavior stays
+    identical across datasets."""
 
-    def __new__(cls, dataset, batch_size: int, subdivisions: int = 1,
-                shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
-                process_index: int = 0, process_count: int = 1,
-                num_workers: int = 0, prefetch: int = 2):
-        from sfa3d_tpu.data.loader import KittiTrainLoader
-
+    def __init__(self, dataset, batch_size: int, subdivisions: int = 1,
+                 shuffle: bool = True, seed: int = 2020, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1,
+                 num_workers: int = 0, prefetch: int = 2):
         def prepare(points, valid, labels, n_labels, hflip):
             # hflip augmentation is a KITTI-path feature; Argoverse samples
             # carry no hflipped attr (always False)
             return _argo_prepare_batch(points, valid, labels, n_labels)
 
-        return KittiTrainLoader(
+        super().__init__(
             dataset, batch_size, subdivisions, shuffle, seed, drop_last,
             process_index, process_count, prepare_fn=prepare,
             num_workers=num_workers, prefetch=prefetch,
@@ -289,7 +291,7 @@ def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:
                     "object_type": ["PEDESTRIAN", "VEHICLE", "BICYCLE"][int(cls)],
                     "translation": [float(x), float(y), float(z)],
                     "height": float(h), "width": float(w), "length": float(l),
-                    "rotation": [0.0, 0.0, float(np.sin(yaw / 2)), float(np.cos(yaw / 2))],
+                    "rotation": [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))],
                 }
             )
         annotations[str(ts)] = {"track_label_list": track_list}
@@ -316,7 +318,10 @@ def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:
                     "focal_center_y_px_": 604.0,
                     "skew_": 0.0,
                     "vehicle_SE3_camera_": {
-                        # camera looks along ego +x: cam z = ego x
+                        # camera looks along ego +x: cam z = ego x.
+                        # coefficients are SCALAR-FIRST (w,x,y,z) like the
+                        # real dataset (this particular quat is q ≡ -q
+                        # convention-invariant, but w-first is the contract)
                         "rotation": {"coefficients": [0.5, -0.5, 0.5, -0.5]},
                         "translation": [1.6, 0.0, 1.4],
                     },
@@ -328,7 +333,8 @@ def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:
                 "key": "down_lidar",
                 "value": {
                     "vehicle_SE3_down_lidar_": {
-                        "rotation": {"coefficients": [0.0, 0.0, 0.0, 1.0]},
+                        # identity rotation, scalar-first (w,x,y,z)
+                        "rotation": {"coefficients": [1.0, 0.0, 0.0, 0.0]},
                         "translation": [1.35, 0.0, 1.68],
                     }
                 },

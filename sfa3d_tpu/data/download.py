@@ -22,11 +22,14 @@ def download_and_unzip(demo_dataset_dir: str, demo_date: str, demo_id: str) -> s
     Returns the extracted drive directory path."""
     os.makedirs(demo_dataset_dir, exist_ok=True)
     drive = f"{demo_date}_drive_{demo_id}_sync"
+    drive_dir = os.path.join(demo_dataset_dir, demo_date, drive)
     targets = [
-        (f"{KITTI_RAW_URL}/{demo_date}_drive_{demo_id}/{drive}.zip", f"{drive}.zip"),
-        (f"{KITTI_RAW_URL}/{demo_date}_calib.zip", f"{demo_date}_calib.zip"),
+        (f"{KITTI_RAW_URL}/{demo_date}_drive_{demo_id}/{drive}.zip", f"{drive}.zip",
+         drive_dir),
+        (f"{KITTI_RAW_URL}/{demo_date}_calib.zip", f"{demo_date}_calib.zip",
+         os.path.join(demo_dataset_dir, demo_date, "calib_cam_to_cam.txt")),
     ]
-    for url, name in targets:
+    for url, name, extracted_marker in targets:
         zip_path = os.path.join(demo_dataset_dir, name)
         if os.path.isfile(zip_path):
             print(f"{name} already downloaded")
@@ -39,6 +42,9 @@ def download_and_unzip(demo_dataset_dir: str, demo_date: str, demo_id: str) -> s
                     f"could not download {url} ({e}); fetch the KITTI raw "
                     f"drive manually into {demo_dataset_dir}"
                 ) from e
+        if os.path.exists(extracted_marker):
+            print(f"{name} already extracted")
+            continue
         with zipfile.ZipFile(zip_path) as zf:
             zf.extractall(demo_dataset_dir)
-    return os.path.join(demo_dataset_dir, demo_date, drive)
+    return drive_dir

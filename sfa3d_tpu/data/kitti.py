@@ -91,26 +91,13 @@ def parse_labels_camera(label_path: str) -> Tuple[np.ndarray, np.ndarray, bool]:
     the evaluator's Easy/Moderate/Hard buckets."""
     labels, levels = [], []
     for line in open(label_path):
-        parts = line.strip().split(" ")
-        if not parts or parts[0] not in cnf.CLASS_NAME_TO_ID:
+        if not line.strip():
             continue
-        cat_id = cnf.CLASS_NAME_TO_ID[parts[0]]
-        if cat_id <= -99:
+        obj = Object3d(line)
+        if obj.type not in cnf.CLASS_NAME_TO_ID or obj.cls_id <= -99:
             continue
-        h, w, l = float(parts[8]), float(parts[9]), float(parts[10])
-        x, y, z = float(parts[11]), float(parts[12]), float(parts[13])
-        ry = float(parts[14])
-        labels.append([cat_id, x, y, z, h, w, l, ry])
-        height = float(parts[7]) - float(parts[5]) + 1
-        trunc, occ = float(parts[1]), int(float(parts[2]))
-        if height >= 40 and trunc <= 0.15 and occ <= 0:
-            levels.append(1)
-        elif height >= 25 and trunc <= 0.3 and occ <= 1:
-            levels.append(2)
-        elif height >= 25 and trunc <= 0.5 and occ <= 2:
-            levels.append(3)
-        else:
-            levels.append(4)
+        labels.append([obj.cls_id, *obj.t, obj.h, obj.w, obj.l, obj.ry])
+        levels.append(obj.level)
     if not labels:
         return np.zeros((1, 8), np.float32), np.zeros((1,), np.int32), False
     return (

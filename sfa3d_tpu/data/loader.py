@@ -293,7 +293,8 @@ def create_train_loader(configs, dataset_cls=None, process_index: int = 0,
     )
 
 
-def create_val_loader(configs, dataset_cls=None):
+def create_val_loader(configs, dataset_cls=None, process_index: int = 0,
+                      process_count: int = 1):
     from sfa3d_tpu.data.kitti import KittiDataset
 
     dataset_cls = dataset_cls or KittiDataset
@@ -301,7 +302,16 @@ def create_val_loader(configs, dataset_cls=None):
         configs.data.dataset_dir, mode="val", lidar_aug=None, hflip_prob=0.0,
         num_samples=configs.data.num_samples, max_objects=configs.data.max_objects,
     )
+    # same per-process-slice contract as create_train_loader: --batch_size
+    # is GLOBAL; each process collates its 1/process_count slice for
+    # shard_batch (a global-size batch per host would duplicate every val
+    # sample process_count times in the assembled array)
+    assert configs.runtime.batch_size % process_count == 0, (
+        f"batch_size {configs.runtime.batch_size} must divide evenly over "
+        f"{process_count} processes"
+    )
     return KittiTrainLoader(
-        dataset, batch_size=configs.runtime.batch_size, subdivisions=1,
-        shuffle=False, drop_last=False,
+        dataset, batch_size=configs.runtime.batch_size // process_count,
+        subdivisions=1, shuffle=False, drop_last=False,
+        process_index=process_index, process_count=process_count,
     )

@@ -130,8 +130,8 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
     calib_lines.insert(4, "R0_rect: " + " ".join(f"{v:.12e}" for v in R0))
     calib_lines.append("Tr_velo_to_cam: " + " ".join(f"{v:.12e}" for v in V2C))
     calib_lines.append(f"Tr_imu_to_velo: {zeros12}")
-    # reorder to the canonical P0 P1 P2 P3 R0_rect Tr_velo_to_cam Tr_imu_to_velo
-    calib_txt = "\n".join(calib_lines[:4] + [calib_lines[4]] + calib_lines[5:]) + "\n"
+    # already in canonical order: P0 P1 P2 P3 R0_rect Tr_velo_to_cam Tr_imu_to_velo
+    calib_txt = "\n".join(calib_lines) + "\n"
 
     for sub in ("training", "testing"):
         for i in range(n_frames):

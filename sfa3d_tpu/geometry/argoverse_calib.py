@@ -48,14 +48,23 @@ CAMERA_DIMS = {
 }
 
 
-def _quat_xyzw_to_rotmat(coeffs) -> np.ndarray:
-    """Argoverse JSON stores (qx, qy, qz, qw); quat2rotmat wants (w, x, y, z)."""
-    qx, qy, qz, qw = coeffs
-    return quat2rotmat(np.array([qw, qx, qy, qz]))
+def _quat_coeffs_to_rotmat(coeffs) -> np.ndarray:
+    """Real Argoverse v1 JSON stores quaternion `coefficients` SCALAR-FIRST
+    (qw, qx, qy, qz) — the convention of argoverse-api and of the reference's
+    own ref_calib.py:275-276, which passes coefficients straight into a
+    (w,x,y,z) quat2rotmat.
+
+    Documented divergence: the reference's corrected_calib.py:56 and
+    argoverse_data_utils_copy.py:59 comment "(qx, qy, qz, qw)" and REORDER
+    the coefficients, so on real dataset files those paths build garbage
+    extrinsics (and disagree with the reference's own motion-compensation
+    path). We use the real-dataset convention everywhere; see
+    docs/TECHNICAL.md "Intentional divergences"."""
+    return quat2rotmat(np.asarray(coeffs, dtype=np.float64))
 
 
 def _se3_from_json(node: Dict[str, Any]) -> SE3:
-    R = _quat_xyzw_to_rotmat(node["rotation"]["coefficients"])
+    R = _quat_coeffs_to_rotmat(node["rotation"]["coefficients"])
     t = np.asarray(node["translation"], dtype=np.float64)
     return SE3(R, t)
 
@@ -207,16 +216,14 @@ def get_city_SE3_egovehicle_at_sensor_t(
         return None
     with open(path) as f:
         pose = json.load(f)
-    R = _quat_xyzw_to_rotmat(
-        [pose["rotation"][1], pose["rotation"][2], pose["rotation"][3], pose["rotation"][0]]
-        if len(pose["rotation"]) == 4 and isinstance(pose["rotation"], list)
-        else pose["rotation"]["coefficients"]
-    )
-    t = np.asarray(
-        pose["translation"] if isinstance(pose["translation"], list)
-        else pose["translation"]
-    )
-    return SE3(R, t)
+    # both forms store the quaternion scalar-first (w, x, y, z), same as the
+    # calibration JSON (argoverse-api convention)
+    rot = pose["rotation"]
+    R = _quat_coeffs_to_rotmat(rot if isinstance(rot, list) else rot["coefficients"])
+    trans = pose["translation"]
+    if not isinstance(trans, list):  # {"x": .., "y": .., "z": ..} dict form
+        trans = [trans["x"], trans["y"], trans["z"]]
+    return SE3(R, np.asarray(trans, dtype=np.float64))
 
 
 def motion_compensate_points(

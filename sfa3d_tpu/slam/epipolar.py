@@ -77,7 +77,13 @@ def estimate_fundamental_ransac(
     n = p1.shape[0]
     probs = valid.astype(jnp.float32)
     probs = probs / jnp.maximum(probs.sum(), 1.0)
-    idx = jax.random.choice(rng, n, shape=(iterations, sample_size), p=probs)
+    # minimal sets are drawn WITHOUT replacement (like cv2's RANSAC): a
+    # duplicate index collapses the 8-point solve to <8 distinct
+    # constraints, whose 2-D null space yields an arbitrary F — with
+    # replacement ~25-45% of hypotheses were wasted at n=50-100
+    idx = jax.vmap(
+        lambda k: jax.random.choice(k, n, shape=(sample_size,), replace=False, p=probs)
+    )(jax.random.split(rng, iterations))
 
     def hypothesis(sample_idx):
         w = jnp.zeros((n,)).at[sample_idx].set(1.0) * valid
@@ -116,7 +122,11 @@ def triangulate_points(P1: jax.Array, P2: jax.Array, p1: jax.Array, p2: jax.Arra
         )
         _, eigvecs = jnp.linalg.eigh(A.T @ A)
         X = eigvecs[:, 0]
-        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], 1e-12)
+        # sign-preserving clamp: replacing a tiny NEGATIVE X[3] with +eps
+        # would flip the point across both cameras and corrupt cheirality
+        # votes for near-infinity geometry
+        eps = jnp.where(X[3] < 0, -1e-12, 1e-12)
+        return X[:3] / jnp.where(jnp.abs(X[3]) > 1e-12, X[3], eps)
 
     return jax.vmap(one)(p1, p2)
 

@@ -95,10 +95,14 @@ def ransac_pnp(
     norm = (jnp.concatenate([pts2d, ones], axis=1) @ Kinv.T)[:, :2]
 
     # all hypothesis samples at once: (iters, sample_size) indices over valid
-    # slots (sampling probability concentrated on valid points)
+    # slots; each minimal set drawn WITHOUT replacement (duplicates would
+    # under-determine the DLT solve and waste the hypothesis, like cv2's
+    # RANSAC never does)
     probs = valid.astype(jnp.float32)
     probs = probs / jnp.maximum(probs.sum(), 1.0)
-    idx = jax.random.choice(rng, n, shape=(iterations, sample_size), p=probs)
+    idx = jax.vmap(
+        lambda k: jax.random.choice(k, n, shape=(sample_size,), replace=False, p=probs)
+    )(jax.random.split(rng, iterations))
 
     def hypothesis(sample_idx):
         w = jnp.zeros((n,)).at[sample_idx].set(1.0) * valid

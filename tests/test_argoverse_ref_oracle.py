@@ -4,12 +4,18 @@ get_filtered_lidar and ArgoverseCalibration execute directly from the
 reference tree on the mini-Argoverse fixture and must agree with
 ops.bev.argoverse_points_to_bev / geometry.argoverse_calib.
 
-The ONE documented divergence (geometry/argoverse_calib.py module
-docstring + docs/TECHNICAL.md): the reference's quat2rotmat
-(new_transform_utils.py:4-28) has a sign error in the [1][2] off-diagonal
-(2yz+2xw instead of 2yz-2xw). The calibration parity test pins the
-divergence to exactly that bug — with the reference's quat2rotmat swapped
-for the textbook form, the reference's own L2C chain matches ours.
+TWO documented divergences (geometry/argoverse_calib.py docstrings +
+docs/TECHNICAL.md):
+1. the reference's quat2rotmat (new_transform_utils.py:4-28) has a sign
+   error in the [1][2] off-diagonal (2yz+2xw instead of 2yz-2xw);
+2. the reference's corrected_calib.py:56 / argoverse_data_utils_copy.py:59
+   misread the JSON quaternion `coefficients` as (x,y,z,w) when the real
+   dataset (and the reference's own ref_calib.py:275-276) stores them
+   SCALAR-FIRST (w,x,y,z).
+The calibration parity tests pin the divergence to exactly those two bugs:
+with the reference's quat2rotmat swapped for the textbook form AND the JSON
+coefficients pre-rotated into the reference's misread order, the
+reference's own L2C chain matches ours.
 """
 
 import os
@@ -48,6 +54,35 @@ def mini_argo(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("argo_oracle")
     return write_mini_argoverse(str(root), n_frames=1)
+
+
+def _ref_convention_json(mini_argo, dst_dir) -> str:
+    """Re-emit the fixture calibration JSON with every quaternion's
+    coefficients cycled (w,x,y,z) -> (x,y,z,w), so the reference's misread
+    (corrected_calib.py:56 reorders as if (x,y,z,w)) lands back on the
+    rotation the file actually encodes."""
+    import json
+
+    with open(os.path.join(mini_argo, "vehicle_calibration_info.json")) as f:
+        data = json.load(f)
+
+    def cycle(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "rotation" and isinstance(v, dict) and "coefficients" in v:
+                    c = v["coefficients"]
+                    v["coefficients"] = c[1:] + c[:1]
+                else:
+                    cycle(v)
+        elif isinstance(node, list):
+            for v in node:
+                cycle(v)
+
+    cycle(data)
+    out = os.path.join(str(dst_dir), "vehicle_calibration_info_refconv.json")
+    with open(out, "w") as f:
+        json.dump(data, f)
+    return out
 
 
 def _fixture_points(mini_argo):
@@ -105,24 +140,33 @@ def test_quat2rotmat_divergence_is_the_documented_bug(ref_argo):
         np.testing.assert_allclose(our_R[1, 2], 2 * y * z - 2 * x * w, atol=1e-12)
 
 
-def test_calibration_matches_reference_code(ref_argo, mini_argo, monkeypatch):
+def test_calibration_matches_reference_code(ref_argo, mini_argo, monkeypatch, tmp_path):
     """The reference's ArgoverseCalibration executed on the fixture JSON:
-    intrinsics match exactly; the full L2C chain matches once the
-    reference's buggy quat2rotmat is swapped for the textbook form
-    (pinning the only divergence to the documented bug)."""
+    intrinsics match exactly; the full L2C chain matches once BOTH
+    documented bugs are compensated (textbook quat2rotmat substituted, and
+    the JSON pre-rotated into the reference's (x,y,z,w) misread order)."""
     json_path = os.path.join(mini_argo, "vehicle_calibration_info.json")
     ours = ArgoverseCalibration(json_path)
 
     ref_raw = ref_argo.ArgoverseCalibration(json_path)
     np.testing.assert_allclose(ref_raw.P2, ours.P2, atol=1e-9)
-    # the fixture camera quaternion has 4xw != 0, so the raw reference L2C
-    # must DIVERGE from ours (the bug is live on this input) ...
+    # on the REAL-convention file the reference misreads the quaternions
+    # (divergence #2; the lidar identity (1,0,0,0) becomes a 180° x-flip)
+    # plus its quat2rotmat sign bug (divergence #1), so its raw L2C must
+    # DIVERGE from ours ...
     assert np.abs(np.asarray(ref_raw.L2C) - ours.L2C).max() > 1e-3
 
-    # ... and with the textbook quat2rotmat substituted, the reference's own
-    # chain (inv(ego_T_cam-as-extrinsic) @ ego_T_lidar) equals ours
+    # ... isolating divergence #2: textbook quat2rotmat but the raw
+    # (real-convention) file still diverges, because the camera quat is
+    # q≡-q convention-invariant but the lidar identity is not
     monkeypatch.setattr(ref_argo, "quat2rotmat", textbook_quat2rotmat)
-    ref_fixed = ref_argo.ArgoverseCalibration(json_path)
+    ref_conv_only = ref_argo.ArgoverseCalibration(json_path)
+    assert np.abs(np.asarray(ref_conv_only.L2C) - ours.L2C).max() > 1e-3
+
+    # ... and with both compensated, the reference's own chain
+    # (inv(ego_T_cam-as-extrinsic) @ ego_T_lidar) equals ours
+    ref_json = _ref_convention_json(mini_argo, tmp_path)
+    ref_fixed = ref_argo.ArgoverseCalibration(ref_json)
     np.testing.assert_allclose(np.asarray(ref_fixed.L2C), ours.L2C, atol=1e-6)
 
     # extrinsic relation: the reference labels ego_T_cam as its extrinsic;
@@ -134,12 +178,12 @@ def test_calibration_matches_reference_code(ref_argo, mini_argo, monkeypatch):
     )
 
 
-def test_projection_matches_reference_code(ref_argo, mini_argo, monkeypatch):
-    """project_lidar_points_to_image parity (modulo the quat bug) on points
-    in front of the camera."""
+def test_projection_matches_reference_code(ref_argo, mini_argo, monkeypatch, tmp_path):
+    """project_lidar_points_to_image parity (modulo the two documented
+    quaternion bugs, both compensated) on points in front of the camera."""
     monkeypatch.setattr(ref_argo, "quat2rotmat", textbook_quat2rotmat)
     json_path = os.path.join(mini_argo, "vehicle_calibration_info.json")
-    ref_calib = ref_argo.ArgoverseCalibration(json_path)
+    ref_calib = ref_argo.ArgoverseCalibration(_ref_convention_json(mini_argo, tmp_path))
     ours = ArgoverseCalibration(json_path)
 
     rng = np.random.default_rng(11)
