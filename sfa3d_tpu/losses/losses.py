@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from sfa3d_tpu.models import clamped_sigmoid
+from sfa3d_tpu.ops.decode import _gather_feat
 
 
 def focal_loss(pred: jax.Array, gt: jax.Array, alpha: int = 2, beta: int = 4) -> jax.Array:
@@ -49,10 +50,11 @@ def focal_loss(pred: jax.Array, gt: jax.Array, alpha: int = 2, beta: int = 4) ->
 
 def gather_slots(output: jax.Array, indices: jax.Array) -> jax.Array:
     """(B, H, W, D) head output + (B, K) flat y*W+x indices -> (B, K, D)
-    (`_transpose_and_gather_feat`, losses.py:37-41, NHWC form)."""
+    (`_transpose_and_gather_feat`, losses.py:37-41, NHWC form). Shares
+    ops.decode._gather_feat so train-time and decode-time gathers cannot
+    drift from build_targets' y*W+x index convention."""
     b, h, w, d = output.shape
-    flat = output.reshape(b, h * w, d)
-    return jnp.take_along_axis(flat, indices[:, :, None].astype(jnp.int32), axis=1)
+    return _gather_feat(output.reshape(b, h * w, d), indices)
 
 
 def masked_l1_loss(output, obj_mask, indices, target) -> jax.Array:

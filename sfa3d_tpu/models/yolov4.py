@@ -22,9 +22,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-# COCO class list parity with models/coco.names
-from sfa3d_tpu.models.yolov8 import COCO_NAMES
-
 ASSETS_DIR = os.path.join(os.path.dirname(__file__), "assets")
 YOLOV4_CFG = os.path.join(ASSETS_DIR, "yolov4.cfg")
 YOLOV4_TINY_CFG = os.path.join(ASSETS_DIR, "yolov4-tiny.cfg")
@@ -89,4 +86,20 @@ class YOLOv4Detector:
 
     @staticmethod
     def class_name(cls_id: int) -> str:
-        return COCO_NAMES[cls_id] if 0 <= cls_id < len(COCO_NAMES) else str(cls_id)
+        names = _darknet_names()
+        return names[cls_id] if 0 <= cls_id < len(names) else str(cls_id)
+
+
+_NAMES_CACHE: List[str] = []
+
+
+def _darknet_names() -> List[str]:
+    """Class names from the shipped darknet assets/coco.names (the file the
+    cfg's class ids are defined against — reference models/coco.names). The
+    darknet list differs from the ultralytics spelling for ~8 classes
+    ('motorbike' vs 'motorcycle', 'sofa' vs 'couch', ...), so the
+    ultralytics COCO_NAMES table must NOT be used on this path."""
+    if not _NAMES_CACHE:
+        with open(COCO_NAMES_FILE) as f:
+            _NAMES_CACHE.extend(ln.strip() for ln in f if ln.strip())
+    return _NAMES_CACHE

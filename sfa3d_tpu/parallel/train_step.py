@@ -12,6 +12,13 @@ Replaces the reference's training inner loop (train.py:190-247):
 BatchNorm note: under a data-sharded jit, BN batch statistics are computed
 over the GLOBAL batch (XLA turns the reduction into a cross-chip psum) —
 stronger than torch DDP's per-device BN; documented divergence.
+
+Loss-normalization note (same mechanism): the focal / L1 losses normalize
+by the GLOBAL positive/object count, whereas reference DDP normalizes
+per-device and then averages gradients — when object counts are unbalanced
+across shards, DDP up-weights objects on sparse devices while we weight
+every object equally. Documented divergence (docs/TECHNICAL.md); the
+global form is the textbook CenterNet objective.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sfa3d_tpu.losses import compute_loss
+from sfa3d_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
 
 
 class TrainState(struct.PyTreeNode):
@@ -108,12 +116,12 @@ def make_train_step(model, tx: optax.GradientTransformation, mesh=None) -> Calla
         return jax.jit(step_fn, donate_argnums=0)
 
     repl = NamedSharding(mesh, P())
-    if "spatial" in mesh.axis_names:
+    if SPATIAL_AXIS in mesh.axis_names:
         # combined data + spatial parallelism: batch over 'data', BEV rows
         # over 'spatial' (XLA inserts conv halo exchanges); the flat target
         # tensors only shard the batch axis.
-        bev_sharding = NamedSharding(mesh, P(None, "data", "spatial"))
-        tgt_sharding = NamedSharding(mesh, P(None, "data"))
+        bev_sharding = NamedSharding(mesh, P(None, DATA_AXIS, SPATIAL_AXIS))
+        tgt_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
         # in_shardings accepts a pytree prefix: one sharding covers the
         # whole targets subtree
         jitted = jax.jit(
@@ -124,7 +132,7 @@ def make_train_step(model, tx: optax.GradientTransformation, mesh=None) -> Calla
         )
         return jitted
 
-    data = NamedSharding(mesh, P(None, "data"))  # (S, B, ...) shard B
+    data = NamedSharding(mesh, P(None, DATA_AXIS))  # (S, B, ...) shard B
     return jax.jit(
         step_fn,
         donate_argnums=0,
@@ -149,5 +157,5 @@ def make_eval_step(model, mesh=None) -> Callable:
     if mesh is None:
         return jax.jit(step_fn)
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(step_fn, in_shardings=(repl, data), out_shardings=repl)
