@@ -88,6 +88,14 @@ def main():
                          "exit 0 even if they fail")
     ap.add_argument("--out", default=os.path.join(_ROOT, "GENERALIZE_CHECK.json"))
     ap.add_argument("--keep_tmp", action="store_true")
+    ap.add_argument("--resume_tmp", default=None,
+                    help="path of a previous run's tmp dir (generalize_*): "
+                         "skip scene generation and the kill phase, relaunch "
+                         "the trainer with --auto_resume on the surviving "
+                         "checkpoints, and rebuild the full val curve. Use "
+                         "after an infrastructure failure (e.g. a TPU-tunnel "
+                         "wedge) killed the original invocation; pass the "
+                         "SAME config flags as that invocation.")
     args = ap.parse_args()
 
     kill_epoch = args.kill_after_epoch
@@ -98,17 +106,29 @@ def main():
 
     from sfa3d_tpu.data.synthetic import write_mini_kitti
 
-    tmp = tempfile.mkdtemp(prefix="generalize_")
-    root = os.path.join(tmp, "kitti")
     n = args.frames_train + args.frames_val
-    print(f"writing {n} synthetic scenes ({args.frames_train} train / "
-          f"{args.frames_val} HELD-OUT val) under {root}")
-    write_mini_kitti(
-        root, n_frames=n, seed=args.data_seed,
-        splits={"train": range(args.frames_train),
-                "val": range(args.frames_train, n),
-                "test": range(args.frames_train, n)},
-    )
+    if args.resume_tmp:
+        tmp = args.resume_tmp
+        root = os.path.join(tmp, "kitti")
+        n_found = len(os.listdir(os.path.join(root, "training", "velodyne")))
+        assert n_found == n, (
+            f"--resume_tmp {tmp} holds {n_found} scenes but the flags say "
+            f"{n}; pass the original run's --frames_train/--frames_val/"
+            f"--data_seed"
+        )
+        kill_epoch = 0  # the infrastructure failure WAS the kill
+        print(f"resuming previous run under {tmp} ({n_found} scenes)")
+    else:
+        tmp = tempfile.mkdtemp(prefix="generalize_")
+        root = os.path.join(tmp, "kitti")
+        print(f"writing {n} synthetic scenes ({args.frames_train} train / "
+              f"{args.frames_val} HELD-OUT val) under {root}")
+        write_mini_kitti(
+            root, n_frames=n, seed=args.data_seed,
+            splits={"train": range(args.frames_train),
+                    "val": range(args.frames_train, n),
+                    "test": range(args.frames_train, n)},
+        )
 
     cmd = train_cmd(args, root, tmp)
     ckpt_dir = os.path.join(tmp, "checkpoints", "gen")
@@ -144,15 +164,17 @@ def main():
     rc = subprocess.run(cmd, cwd=_ROOT, env=env).returncode
     assert rc == 0, f"training failed rc={rc}"
 
-    # resume evidence from the log file
-    resumed_from = None
+    # resume evidence from the log file (all of them: a --resume_tmp run has
+    # the original kill+resume AND the post-wedge resume in one log)
+    resume_history = []
     logf = glob.glob(os.path.join(tmp, "logs", "**", "logger_gen.txt"),
                      recursive=True)
     if logf:
         for line in open(logf[0]):
             m = re.search(r"resumed from .*epoch (\d+)", line)
             if m:
-                resumed_from = int(m.group(1))
+                resume_history.append(int(m.group(1)))
+    resumed_from = resume_history[-1] if resume_history else None
     if killed_at is not None:
         assert resumed_from is not None and resumed_from >= killed_at, (
             f"expected auto-resume from >= epoch {killed_at}, log says {resumed_from}"
@@ -213,6 +235,7 @@ def main():
         },
         "killed_after_epoch": killed_at,
         "auto_resumed_from_epoch": resumed_from,
+        "resume_history": resume_history,
         "val_map_curve": curve,
         "best": best,
         "final": final,

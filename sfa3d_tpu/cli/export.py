@@ -74,17 +74,11 @@ def main(argv=None):
     variables = load_variables(args.pretrained_path, args.arch, model=model)
 
     if args.fused:
-        from sfa3d_tpu.models.yolov8 import YOLOv8, port_ultralytics_state_dict
+        from sfa3d_tpu.models.yolov8 import YOLOv8, load_yolo_variables
 
         yolo = YOLOv8(scale="n")
-        if args.yolo_weights and os.path.isfile(args.yolo_weights):
-            import torch
-
-            sd = torch.load(args.yolo_weights, map_location="cpu",
-                            weights_only=False)
-            yolo_vars = port_ultralytics_state_dict(sd)
-        else:
-            print("WARNING: no --yolo_weights; YOLO branch uses RANDOM weights")
+        yolo_vars = load_yolo_variables(args.yolo_weights)
+        if yolo_vars is None:
             import jax.numpy as jnp
 
             yolo_vars = yolo.init(

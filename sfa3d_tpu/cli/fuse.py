@@ -50,7 +50,7 @@ def main(argv=None):
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.models import create_model, load_variables
-    from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector, port_ultralytics_state_dict
+    from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector, load_yolo_variables
     from sfa3d_tpu.pipeline import detect_frames
 
     args = parse_args(argv)
@@ -59,17 +59,7 @@ def main(argv=None):
     model = create_model(args.arch)
     variables = load_variables(args.pretrained_path, args.arch, model)
 
-    yolo_vars = None
-    if args.yolo_weights and os.path.isfile(args.yolo_weights):
-        import torch
-
-        sd = torch.load(args.yolo_weights, map_location="cpu", weights_only=False)
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
-        elif isinstance(sd, dict) and "model" in sd:
-            sd = sd["model"].float().state_dict()
-        yolo_vars = port_ultralytics_state_dict(sd)
-    yolo = YOLOv8Detector(scale="n", variables=yolo_vars)
+    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights))
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     counts_before, counts_after = [], []

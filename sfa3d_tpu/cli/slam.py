@@ -21,6 +21,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="sfa3d_tpu dynamic-calibration fusion (slam.py/msac.py parity)")
     p.add_argument("--arch", type=str, default="fpn_resnet_18")
     p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--yolo_weights", type=str, default=None,
+                   help="ultralytics yolov8 .pt to import (random weights if absent)")
     p.add_argument("--dataset_dir", type=str, default="./dataset/kitti")
     p.add_argument("--calib_method", type=str, default="KITTI_DATASET_CALIB",
                    choices=list(SLAM_METHODS))
@@ -43,7 +45,7 @@ def main(argv=None):
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.models import create_model, load_variables
-    from sfa3d_tpu.models.yolov8 import YOLOv8Detector
+    from sfa3d_tpu.models.yolov8 import YOLOv8Detector, load_yolo_variables
     from sfa3d_tpu.pipeline import detect_frames
     from sfa3d_tpu.slam import get_calibration_from_slam
 
@@ -52,7 +54,7 @@ def main(argv=None):
 
     model = create_model(args.arch)
     variables = load_variables(args.pretrained_path, args.arch, model)
-    yolo = YOLOv8Detector(scale="n")
+    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights))
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     for idx in range(len(dataset)):

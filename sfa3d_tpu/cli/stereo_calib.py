@@ -22,6 +22,8 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="./results/stereo_calib")
     p.add_argument("--run_yolo", action="store_true",
                    help="also run YOLOv8 on the left images with the estimated calib")
+    p.add_argument("--yolo_weights", type=str, default=None,
+                   help="ultralytics yolov8 .pt to import (random weights if absent)")
     return p.parse_args(argv)
 
 
@@ -47,9 +49,9 @@ def main(argv=None):
     yolo = None
     if args.run_yolo:
         # construct (and compile) once, not per frame
-        from sfa3d_tpu.models.yolov8 import YOLOv8Detector
+        from sfa3d_tpu.models.yolov8 import YOLOv8Detector, load_yolo_variables
 
-        yolo = YOLOv8Detector(scale="n")
+        yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights))
 
     n_ok = 0
     for sid in ids:

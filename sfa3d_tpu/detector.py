@@ -237,16 +237,9 @@ class FusedDetector:
 
         self.yolo = YOLOv8(scale=yolo_scale, dtype=jdtype)
         if yolo_checkpoint:
-            import torch
+            from sfa3d_tpu.models.yolov8 import load_yolo_variables
 
-            from sfa3d_tpu.models.yolov8 import port_ultralytics_state_dict
-
-            obj = torch.load(yolo_checkpoint, map_location="cpu", weights_only=False)
-            # ultralytics .pt files wrap the module: {'model': DetectionModel}
-            if isinstance(obj, dict) and "model" in obj:
-                obj = obj["model"]
-            sd = obj.float().state_dict() if hasattr(obj, "state_dict") else obj
-            self.yvars = port_ultralytics_state_dict(sd, scale=yolo_scale)
+            self.yvars = load_yolo_variables(yolo_checkpoint, scale=yolo_scale)
         else:
             self.yvars = self.yolo.init(
                 jax.random.PRNGKey(1),

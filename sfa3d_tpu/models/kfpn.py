@@ -103,6 +103,42 @@ class HeadTower(nn.Module):
         return x
 
 
+def _fused_conv2_kernel_init(heads, head_conv):
+    """Init for the fused 1x1 head conv that matches the separate towers'
+    init (fpn_resnet.py:265-281) block by block: each head's block gets its
+    own tower init (hm -> lecun_normal, others -> N(0, 0.001)); off-block
+    entries are zero, i.e. the same block-diagonal structure
+    fuse_head_params produces from trained towers."""
+    def init(key, shape, dtype=jnp.float32):
+        k = jnp.zeros(shape, dtype)
+        keys = jax.random.split(key, len(heads))
+        off_in = off_out = 0
+        for (head, out_ch), sub in zip(heads, keys):
+            blk_shape = (1, 1, head_conv, out_ch)
+            if "hm" in head:
+                blk = nn.initializers.lecun_normal()(sub, blk_shape, dtype)
+            else:
+                blk = nn.initializers.normal(stddev=0.001)(sub, blk_shape, dtype)
+            k = k.at[:, :, off_in:off_in + head_conv, off_out:off_out + out_ch].set(blk)
+            off_in += head_conv
+            off_out += out_ch
+        return k
+    return init
+
+
+def _fused_conv2_bias_init(heads):
+    """hm blocks get the -2.19 focal-loss prior bias, others zero."""
+    def init(key, shape, dtype=jnp.float32):
+        b = jnp.zeros(shape, dtype)
+        off = 0
+        for head, out_ch in heads:
+            if "hm" in head:
+                b = b.at[off:off + out_ch].set(-2.19)
+            off += out_ch
+        return b
+    return init
+
+
 class KFPN(nn.Module):
     """PoseResNet KFPN (fpn_resnet.py:112-254), NHWC.
 
@@ -166,6 +202,8 @@ class KFPN(nn.Module):
                 o = nn.relu(o)
                 o = nn.Conv(
                     total_out, (1, 1), use_bias=True, dtype=self.dtype,
+                    kernel_init=_fused_conv2_kernel_init(self.heads, self.head_conv),
+                    bias_init=_fused_conv2_bias_init(self.heads),
                     name=f"fused{idx}_conv2",
                 )(o)
                 if o.shape[1] != up4.shape[1] or o.shape[2] != up4.shape[2]:

@@ -251,25 +251,33 @@ def decode_predictions(
     return jnp.concatenate(all_boxes, axis=1), jnp.concatenate(all_scores, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_det",))
+@functools.partial(jax.jit, static_argnames=("max_det", "pre_nms"))
 def select_detections(
     boxes: jax.Array,
     scores: jax.Array,
     conf_thresh: float = 0.25,
     iou_thresh: float = 0.45,
     max_det: int = 100,
+    pre_nms: int = 0,
 ):
     """Ultralytics-style postprocess for ONE image: best class per anchor,
     confidence gate, class-offset NMS, top max_det. Returns
     (boxes_xyxy (max_det, 4), scores (max_det,), classes (max_det,),
     valid (max_det,)).
+
+    `pre_nms` bounds the NMS problem size (the O(n²) IoU matrix must be a
+    static shape on TPU): only the top `pre_nms` candidates by confidence
+    enter NMS. 0 means 4*max_det. Ultralytics' non_max_suppression keeps up
+    to 30000 — equivalent here whenever fewer than `pre_nms` anchors pass
+    `conf_thresh`, which holds for natural images at the default 0.25 gate;
+    raise it (e.g. pre_nms=2048) for dense-crowd scenes or very low
+    confidence thresholds.
     """
     from sfa3d_tpu.fusion.nms import hard_nms
 
     cls = jnp.argmax(scores, axis=-1)
     conf = jnp.max(scores, axis=-1)
-    # pre-select top max_det*4 candidates to bound the NMS problem size
-    n_cand = min(4 * max_det, conf.shape[0])
+    n_cand = min(pre_nms if pre_nms > 0 else 4 * max_det, conf.shape[0])
     top_conf, top_idx = jax.lax.top_k(conf, n_cand)
     top_boxes = boxes[top_idx]
     top_cls = cls[top_idx]
@@ -334,7 +342,8 @@ class YOLOv8Detector:
     class ids) in ORIGINAL image pixels."""
 
     def __init__(self, scale: str = "n", num_classes: int = 80,
-                 variables=None, rng=None, dtype=jnp.float32, imgsz: int = 640):
+                 variables=None, rng=None, dtype=jnp.float32, imgsz: int = 640,
+                 max_det: int = 100, pre_nms: int = 0):
         self.model = YOLOv8(scale=scale, num_classes=num_classes, dtype=dtype)
         self.imgsz = imgsz
         if variables is None:
@@ -348,7 +357,8 @@ class YOLOv8Detector:
         def _run(variables, img, conf_thresh):
             outs = self.model.apply(variables, img, train=False)
             boxes, scores = decode_predictions(outs)
-            return select_detections(boxes[0], scores[0], conf_thresh=conf_thresh)
+            return select_detections(boxes[0], scores[0], conf_thresh=conf_thresh,
+                                     max_det=max_det, pre_nms=pre_nms)
 
         self._run = _run
 
@@ -450,3 +460,43 @@ def port_ultralytics_state_dict(sd: Dict[str, Any], scale: str = "n",
     # realized here analytically in dfl_expectation.
 
     return {"params": params, "batch_stats": stats}
+
+
+def load_yolo_variables(path, scale: str = "n", num_classes: int = 80):
+    """Load + port an ultralytics YOLOv8 .pt checkpoint (the reference's
+    `YOLO('yolov8n.pt')`, test3.py:470-472). One shared entry point for every
+    CLI so the .pt unwrapping rules cannot drift between them:
+
+    - `path` falsy -> returns None (caller runs RANDOM weights) with a loud
+      stderr warning: random camera weights make fusion output meaningless
+      outside smoke tests.
+    - `path` given but missing -> FileNotFoundError (a typo'd path must not
+      silently degrade to random weights).
+    - handles both raw state_dicts and full ultralytics checkpoints
+      ({'model': nn.Module} — the actual published yolov8n.pt layout).
+    """
+    import sys
+
+    if not path:
+        print(
+            "WARNING: no YOLOv8 weights given — the camera branch runs with "
+            "RANDOM weights (output only meaningful for smoke tests); pass "
+            "--yolo_weights <yolov8n.pt>",
+            file=sys.stderr,
+        )
+        return None
+    import os
+
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"YOLOv8 weights not found: {path}")
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and not hasattr(sd["model"], "shape"):
+        sd = sd["model"]  # full checkpoint: {'model': DetectionModel-or-state_dict}
+    if hasattr(sd, "state_dict"):
+        sd = sd.float().state_dict() if hasattr(sd, "float") else sd.state_dict()
+    if any(k.startswith("model.model.") for k in sd):
+        # a YOLO *wrapper* state_dict prefixes an extra 'model.'
+        sd = {k[len("model."):]: v for k, v in sd.items()}
+    return port_ultralytics_state_dict(sd, scale=scale, num_classes=num_classes)

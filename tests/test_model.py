@@ -237,3 +237,37 @@ def test_s2d_stem_conv_only_parity(rng):
     np.testing.assert_allclose(
         np.asarray(out_std), np.asarray(out_s2d), atol=2e-6
     )
+
+
+def test_fused_heads_init_parity():
+    """A FRESH KFPN(fused_heads=True) init must carry the reference head
+    init (fpn_resnet.py:265-281) per block: hm bias -2.19 / lecun kernel,
+    other heads bias 0 / N(0, 0.001) kernels, zeros off-block (the same
+    block-diagonal layout fuse_head_params produces)."""
+    from sfa3d_tpu.models.kfpn import HEADS, KFPN
+
+    fused = KFPN(num_layers=18, fused_heads=True)
+    v = fused.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    heads = tuple(sorted(HEADS.items()))
+    head_conv = 64
+    for idx in range(3):
+        k = np.asarray(v["params"][f"fused{idx}_conv2"]["kernel"])
+        b = np.asarray(v["params"][f"fused{idx}_conv2"]["bias"])
+        off_in = off_out = 0
+        for head, out_ch in heads:
+            blk = k[0, 0, off_in:off_in + head_conv, off_out:off_out + out_ch]
+            bias_blk = b[off_out:off_out + out_ch]
+            if "hm" in head:
+                np.testing.assert_allclose(bias_blk, -2.19, atol=1e-6)
+                assert 0.01 < blk.std() < 1.0  # lecun_normal, fan_in=64
+            else:
+                np.testing.assert_allclose(bias_blk, 0.0, atol=1e-6)
+                assert 0.0 < blk.std() < 0.01  # N(0, 0.001)
+            # off-block rows (other heads' hidden channels) must be zero
+            mask = np.ones(k.shape[2], bool)
+            mask[off_in:off_in + head_conv] = False
+            np.testing.assert_array_equal(
+                k[0, 0, mask, off_out:off_out + out_ch], 0.0
+            )
+            off_in += head_conv
+            off_out += out_ch

@@ -437,3 +437,68 @@ def test_decode_matches_ultralytics_formula():
     np.testing.assert_allclose(
         np.asarray(scores)[0], np.concatenate(oracle_scores), atol=1e-5
     )
+
+
+def test_load_yolo_variables_pt_layouts(tmp_path):
+    """load_yolo_variables must accept every published .pt layout — a raw
+    state_dict, the full ultralytics checkpoint ({'model': DetectionModel}),
+    and a YOLO-wrapper state_dict with the extra 'model.' prefix — and
+    produce identical variables for all of them. A missing path must raise,
+    not silently fall back to random weights."""
+    from sfa3d_tpu.models.yolov8 import load_yolo_variables
+
+    jmodel = YOLOv8(scale="n")
+    tmodel = TYOLOv8(jmodel.widths(), jmodel.depths())
+    _randomize(tmodel, seed=7)
+    tmodel.eval()
+
+    raw = tmp_path / "raw_sd.pt"
+    torch.save(tmodel.state_dict(), raw)
+    full = tmp_path / "full_ckpt.pt"
+    torch.save({"model": tmodel, "epoch": 3}, full)
+    wrapped = tmp_path / "wrapper_sd.pt"
+    torch.save({f"model.{k}": v for k, v in tmodel.state_dict().items()}, wrapped)
+
+    v_raw = load_yolo_variables(str(raw))
+    for path in (full, wrapped):
+        v = load_yolo_variables(str(path))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            v_raw, v,
+        )
+
+    assert load_yolo_variables(None) is None
+    assert load_yolo_variables("") is None
+    with pytest.raises(FileNotFoundError):
+        load_yolo_variables(str(tmp_path / "nope.pt"))
+
+
+@pytest.mark.parametrize("pre_nms", [0, 37, 4096])
+def test_select_detections_pre_nms_pool(pre_nms):
+    """pre_nms bounds the NMS candidate pool: any pool >= the number of
+    above-threshold anchors gives identical output; a tiny pool keeps only
+    the top-confidence candidates. 0 = the 4*max_det default."""
+    from sfa3d_tpu.models.yolov8 import select_detections
+
+    rng = np.random.default_rng(11)
+    n = 600
+    boxes = rng.uniform(0, 640, (n, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(20, 80, (n, 2))], -1)
+    scores = np.zeros((n, 3), np.float32)
+    scores[np.arange(n), rng.integers(0, 3, n)] = rng.uniform(0.0, 1.0, n)
+
+    b, s, c, v = select_detections(
+        jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
+        conf_thresh=0.5, max_det=50, pre_nms=pre_nms,
+    )
+    s, v = np.asarray(s), np.asarray(v)
+    pool = pre_nms if pre_nms else 200
+    assert v.sum() <= min(50, pool)
+    # the kept set must be the same whenever the pool covers all candidates
+    if pre_nms >= n:
+        b0, s0, c0, v0 = select_detections(
+            jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
+            conf_thresh=0.5, max_det=50, pre_nms=n,
+        )
+        np.testing.assert_array_equal(v, np.asarray(v0))
+        np.testing.assert_allclose(s[v], np.asarray(s0)[np.asarray(v0)], rtol=1e-6)
