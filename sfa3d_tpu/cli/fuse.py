@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--side_by_side", action="store_true",
                    help="also save separate {id}_yolov8.jpg / {id}_sfa3d.jpg "
                         "comparison images (test3.py parity)")
+    p.add_argument("--imgsz", type=int, default=640,
+                   help="YOLOv8 letterbox size (stride-32 multiple; "
+                        "ultralytics imgsz)")
     return p.parse_args(argv)
 
 
@@ -59,7 +62,8 @@ def main(argv=None):
     model = create_model(args.arch)
     variables = load_variables(args.pretrained_path, args.arch, model)
 
-    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights))
+    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights),
+                          imgsz=args.imgsz)
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     counts_before, counts_after = [], []

@@ -23,6 +23,8 @@ def parse_args(argv=None):
     p.add_argument("--pretrained_path", type=str, default=None)
     p.add_argument("--yolo_weights", type=str, default=None,
                    help="ultralytics yolov8 .pt to import (random weights if absent)")
+    p.add_argument("--imgsz", type=int, default=640,
+                   help="YOLOv8 letterbox size (stride-32 multiple)")
     p.add_argument("--dataset_dir", type=str, default="./dataset/kitti")
     p.add_argument("--calib_method", type=str, default="KITTI_DATASET_CALIB",
                    choices=list(SLAM_METHODS))
@@ -54,7 +56,8 @@ def main(argv=None):
 
     model = create_model(args.arch)
     variables = load_variables(args.pretrained_path, args.arch, model)
-    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights))
+    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights),
+                          imgsz=args.imgsz)
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     for idx in range(len(dataset)):
