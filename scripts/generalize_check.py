@@ -124,7 +124,7 @@ def main():
         print(f"writing {n} synthetic scenes ({args.frames_train} train / "
               f"{args.frames_val} HELD-OUT val) under {root}")
         write_mini_kitti(
-            root, n_frames=n, seed=args.data_seed,
+            root, n_frames=n, seed=args.data_seed, cameras=False,
             splits={"train": range(args.frames_train),
                     "val": range(args.frames_train, n),
                     "test": range(args.frames_train, n)},

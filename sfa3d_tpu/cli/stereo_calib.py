@@ -24,6 +24,8 @@ def parse_args(argv=None):
                    help="also run YOLOv8 on the left images with the estimated calib")
     p.add_argument("--yolo_weights", type=str, default=None,
                    help="ultralytics yolov8 .pt to import (random weights if absent)")
+    p.add_argument("--imgsz", type=int, default=640,
+                   help="YOLOv8 letterbox size (stride-32 multiple)")
     return p.parse_args(argv)
 
 
@@ -51,7 +53,8 @@ def main(argv=None):
         # construct (and compile) once, not per frame
         from sfa3d_tpu.models.yolov8 import YOLOv8Detector, load_yolo_variables
 
-        yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights))
+        yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights),
+                              imgsz=args.imgsz)
 
     n_ok = 0
     for sid in ids:

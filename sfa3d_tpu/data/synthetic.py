@@ -103,29 +103,94 @@ def synthetic_scene(
     return points, np.asarray(labels, np.float32)
 
 
+def render_camera_image(points: np.ndarray, labels: np.ndarray,
+                        P: np.ndarray, hw: Tuple[int, int] = (375, 1242)) -> np.ndarray:
+    """Render a synthetic camera frame geometrically consistent with the
+    scene: velodyne points become intensity-shaded 2x2 dots (texture with
+    real parallax for feature matching) and each labeled box becomes a
+    filled class-colored convex hull with a bright outline. `P` is a 3x4
+    rect-frame projection — pass P2 for the left camera or a P3 carrying a
+    stereo-baseline tx term for the right camera, and the disparity falls
+    out of the projection. Returns (H, W, 3) uint8 BGR."""
+    import cv2
+
+    from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
+    from sfa3d_tpu.viz.draw import compute_box_3d, project_to_image
+
+    h, w = hw
+    P = np.asarray(P, np.float64).reshape(3, 4)
+    img = np.full((h, w, 3), 28, np.uint8)
+
+    V2C = np.asarray(cnf.Tr_velo_to_cam[:3], np.float64).reshape(3, 4)
+    R0 = np.asarray(cnf.R0[:3, :3], np.float64)
+    rect = (R0 @ (V2C[:, :3] @ points[:, :3].T.astype(np.float64)
+                  + V2C[:, 3:4])).T
+    infront = rect[:, 2] > 1.0
+    rect, inten = rect[infront], points[infront, 3]
+    uvz = (P[:, :3] @ rect.T + P[:, 3:4]).T
+    uv = uvz[:, :2] / uvz[:, 2:3]
+    ui = np.round(uv[:, 0]).astype(np.int64)
+    vi = np.round(uv[:, 1]).astype(np.int64)
+    inb = (ui >= 0) & (ui < w - 1) & (vi >= 0) & (vi < h - 1)
+    ui, vi = ui[inb], vi[inb]
+    shade = (70 + 180 * np.clip(inten[inb], 0, 1)).astype(np.uint8)
+    for du in (0, 1):
+        for dv in (0, 1):
+            img[vi + dv, ui + du] = shade[:, None]
+
+    bgr_colors = {0: (80, 80, 230), 1: (90, 200, 90), 2: (230, 160, 60)}
+    if len(labels):
+        cam = np.asarray(lidar_to_camera_box(labels[:, 1:8].astype(np.float64)))
+        # far-to-near painter's order so near boxes occlude far ones
+        for j in np.argsort(-cam[:, 2]):
+            x, y, z, bh, bw, bl, ry = cam[j]
+            corners = compute_box_3d((bh, bw, bl), (x, y, z), ry)
+            if (corners[:, 2] <= 1.0).any():
+                continue
+            pts2d = project_to_image(corners, P)
+            hull = cv2.convexHull(pts2d.reshape(-1, 1, 2).astype(np.int32))
+            color = bgr_colors[int(labels[j, 0]) % 3]
+            cv2.fillConvexPoly(img, hull, color)
+            cv2.polylines(img, [hull], True,
+                          tuple(min(255, c + 90) for c in color), 2)
+    return img
+
+
+# KITTI color-pair stereo baseline (m); P3 tx = P2 tx - fx * baseline
+STEREO_BASELINE_M = 0.54
+
+
 def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
-                     splits=("train", "val", "test")) -> str:
+                     splits=("train", "val", "test"),
+                     cameras: bool = True) -> str:
     """Materialize a tiny KITTI-layout dataset on disk from synthetic scenes
-    (velodyne .bin + calib .txt + label_2 .txt + ImageSets), so the full
-    dataset/loader/training path runs without the KITTI download. Extends the
-    reference's dummy-fixture idea (data_process/main_script.py:42-76)."""
+    (velodyne .bin + calib .txt + label_2 .txt + rendered image_2/image_3
+    .png stereo camera frames + ImageSets), so the full dataset/loader/
+    training/fusion/stereo path runs without the KITTI download. Extends the
+    reference's dummy-fixture idea (data_process/main_script.py:42-76). The
+    camera frames are geometrically consistent with the scans (points +
+    labeled boxes projected through the calib), and image_3 is rendered
+    through a P3 carrying the real 0.54 m KITTI stereo baseline."""
     import os
 
     from sfa3d_tpu.config import kitti as cnf
     from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
 
     for sub in ("training", "testing"):
-        for d in ("velodyne", "calib", "label_2", "image_2"):
+        for d in ("velodyne", "calib", "label_2", "image_2", "image_3"):
             os.makedirs(os.path.join(root, sub, d), exist_ok=True)
     os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
 
     names = {0: "Pedestrian", 1: "Car", 2: "Cyclist"}
     calib_lines = []
-    P2 = np.asarray(cnf.P2[:3]).reshape(-1)
+    P2 = np.asarray(cnf.P2[:3], np.float64).reshape(3, 4)
+    P3 = P2.copy()
+    P3[0, 3] -= P2[0, 0] * STEREO_BASELINE_M  # tx = -fx * baseline offset
     R0 = np.asarray(cnf.R0[:3, :3]).reshape(-1)
     V2C = np.asarray(cnf.Tr_velo_to_cam[:3]).reshape(-1)
     zeros12 = " ".join(["0"] * 12)
-    for key, vals in [("P0", P2), ("P1", P2), ("P2", P2), ("P3", P2)]:
+    for key, vals in [("P0", P2.reshape(-1)), ("P1", P2.reshape(-1)),
+                      ("P2", P2.reshape(-1)), ("P3", P3.reshape(-1))]:
         calib_lines.append(f"{key}: " + " ".join(f"{v:.12e}" for v in vals))
     calib_lines.insert(4, "R0_rect: " + " ".join(f"{v:.12e}" for v in R0))
     calib_lines.append("Tr_velo_to_cam: " + " ".join(f"{v:.12e}" for v in V2C))
@@ -133,12 +198,27 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
     # already in canonical order: P0 P1 P2 P3 R0_rect Tr_velo_to_cam Tr_imu_to_velo
     calib_txt = "\n".join(calib_lines) + "\n"
 
+    # cameras=False skips the (relatively slow) frame rendering for
+    # lidar-only consumers writing hundreds of scenes (generalize_check)
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover - cv2 is baked into this env
+        cv2 = None
+    if not cameras:
+        cv2 = None
+
     for sub in ("training", "testing"):
         for i in range(n_frames):
             points, labels = synthetic_scene(seed=seed + i + (1000 if sub == "testing" else 0))
             points.tofile(os.path.join(root, sub, "velodyne", f"{i:06d}.bin"))
             with open(os.path.join(root, sub, "calib", f"{i:06d}.txt"), "w") as f:
                 f.write(calib_txt)
+            if cv2 is not None:
+                for cam_dir, P in (("image_2", P2), ("image_3", P3)):
+                    cv2.imwrite(
+                        os.path.join(root, sub, cam_dir, f"{i:06d}.png"),
+                        render_camera_image(points, labels, P),
+                    )
             if sub == "training":
                 with open(os.path.join(root, sub, "label_2", f"{i:06d}.txt"), "w") as f:
                     cam = np.asarray(lidar_to_camera_box(labels[:, 1:]))

@@ -112,10 +112,16 @@ def export_fused(
     BEV+KFPN+decode, YOLOv8 letterbox 640^2, projection, Bayesian fusion +
     Gaussian NMS — fusion/batch.py) with both weight sets baked in.
 
-    Exported signature: (points, valid, images (b,H,W,3) f32 RGB 0..255,
-    V2C (b,3,4), R0 (b,3,3), P2 (b,3,4)) -> fusion output dict. The
-    letterbox scale/pad are compile-time constants derived from img_hw,
-    matching the fixed camera geometry of a deployment."""
+    Exported signature: (points, valid, images, V2C (b,3,4), R0 (b,3,3),
+    P2 (b,3,4)) -> fusion output dict. `images` is
+    (b, letterbox, letterbox, 3) f32 RGB in [0, 1] — EXACTLY the array
+    `models.yolov8.letterbox(frame, letterbox)` returns (resized, padded,
+    /255-normalized); every live consumer (FusedDetector, the fused
+    serving path) feeds that, and the artifact bakes no extra
+    normalization in. The letterbox scale/pad are compile-time constants
+    derived from img_hw, matching the fixed camera geometry of a
+    deployment; they equal the scale/pad letterbox() computes for frames
+    of that size, so caller-side un-letterboxing stays consistent."""
     from sfa3d_tpu.fusion.batch import build_fused_pipeline
 
     run = build_fused_pipeline(kfpn_model, yolo_model, **fused_kwargs)
@@ -154,6 +160,8 @@ def export_fused(
         "max_points": max_points,
         "img_hw": [h, w],
         "letterbox": letterbox,
+        "images": "letterboxed RGB in [0,1] — the output of "
+                  "models.yolov8.letterbox(frame, letterbox)",
         "letterbox_scale": scale,
         "letterbox_pad": [pad_x, pad_y],
         "fused_kwargs": {k: v for k, v in fused_kwargs.items()

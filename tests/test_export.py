@@ -113,8 +113,11 @@ def test_fused_export_roundtrip(det, tmp_path):
     assert art.manifest["kind"] == "fused"
 
     pts, valid = _scan_batch(1)
+    # the artifact contract: letterboxed RGB in [0,1] (what
+    # models.yolov8.letterbox produces) — NOT raw 0..255 frames
+    assert "[0,1]" in art.manifest["images"]
     images = np.random.default_rng(0).uniform(
-        0, 255, (1, 64, 64, 3)).astype(np.float32)
+        0, 1, (1, 64, 64, 3)).astype(np.float32)
     V2C = np.tile(np.eye(3, 4, dtype=np.float32), (1, 1, 1))
     R0 = np.tile(np.eye(3, dtype=np.float32), (1, 1, 1))
     P2 = np.tile(np.eye(3, 4, dtype=np.float32) * 100.0, (1, 1, 1))

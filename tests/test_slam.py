@@ -167,3 +167,33 @@ def test_stereo_calibration_synthetic_images(rng):
     if result.success:
         assert result.R.shape == (3, 3)
         np.testing.assert_allclose(result.R @ result.R.T, np.eye(3), atol=1e-3)
+
+
+def test_stereo_calibration_recovers_kitti_baseline(tmp_path):
+    """Ground-truth regression on the full ORB -> F-RANSAC -> E -> pose
+    stack: the mini-KITTI fixture renders image_2/image_3 through P2/P3
+    differing by the real 0.54 m x-baseline (data/synthetic.py), so the
+    recovered pose must be R ~ identity and t along +-x (E fixes t only up
+    to scale/sign). This is the stereo_calibration_yolo.py:320-532 flow on
+    imagery with KNOWN extrinsics, not just 'it runs'."""
+    import cv2
+
+    from sfa3d_tpu.data.synthetic import write_mini_kitti
+    from sfa3d_tpu.geometry.calibration import read_calib_file
+    from sfa3d_tpu.slam.stereo import perform_targetless_stereo_calibration
+
+    root = write_mini_kitti(str(tmp_path / "kitti"), n_frames=1)
+    left = cv2.imread(f"{root}/training/image_2/000000.png", cv2.IMREAD_GRAYSCALE)
+    right = cv2.imread(f"{root}/training/image_3/000000.png", cv2.IMREAD_GRAYSCALE)
+    assert left is not None and right is not None and left.shape == right.shape
+    K = read_calib_file(f"{root}/training/calib/000000.txt")["P2"].reshape(3, 4)[:, :3]
+
+    result = perform_targetless_stereo_calibration(left, right, K, min_matches=30)
+    assert result.success, result.reason
+    assert result.n_inliers >= 100
+    # rotation: within ~3 degrees of identity (trace(R) = 1 + 2 cos(angle))
+    angle = np.degrees(np.arccos(np.clip((np.trace(result.R) - 1) / 2, -1, 1)))
+    assert angle < 3.0, f"rotation off identity by {angle:.2f} deg"
+    t = np.asarray(result.t, np.float64).ravel()
+    t = t / np.linalg.norm(t)
+    assert abs(t[0]) > 0.98, f"translation not along the x baseline: {t}"
