@@ -241,6 +241,40 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
     return root
 
 
+def write_mini_drive(root: str, n_frames: int = 2, seed: int = 0,
+                     cameras: bool = True) -> str:
+    """Materialize a tiny KITTI raw-drive layout (image_02/data +
+    velodyne_points/data with 10-digit ids — the demo_dataset.py:32-99
+    shape) from synthetic scenes, so the video-demo CLI runs without the
+    raw-drive download. Each scan is a front scene plus an x-mirrored rear
+    scene, giving `demo --two_sides` real content in BOTH detection
+    windows."""
+    import os
+
+    os.makedirs(os.path.join(root, "image_02", "data"), exist_ok=True)
+    os.makedirs(os.path.join(root, "velodyne_points", "data"), exist_ok=True)
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover - cv2 is baked into this env
+        cv2 = None
+    if not cameras:
+        cv2 = None
+    P2 = np.asarray(cnf.P2[:3], np.float64).reshape(3, 4)
+    for i in range(n_frames):
+        front, labels = synthetic_scene(seed=seed + i)
+        back, _ = synthetic_scene(seed=seed + i + 500)
+        back = back.copy()
+        back[:, 0] *= -1.0  # mirror into the rear window (boundary_back)
+        scan = np.concatenate([front, back]).astype(np.float32)
+        scan.tofile(os.path.join(root, "velodyne_points", "data", f"{i:010d}.bin"))
+        if cv2 is not None:
+            cv2.imwrite(
+                os.path.join(root, "image_02", "data", f"{i:010d}.png"),
+                render_camera_image(front, labels, P2),
+            )
+    return root
+
+
 def synthetic_batch_points(
     batch: int, max_points: int = cnf.MAX_POINTS, seed: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -213,7 +213,7 @@ class FusedDetector:
         mode: str = "bayesian",
         use_gaussian_nms: bool = True,
         K: int = 50,
-        max_yolo: int = 50,
+        max_yolo: int = 64,  # == fusion.DEFAULT_MAX_YOLO (pipeline parity)
         peak_thresh: float = 0.2,
         confidence_threshold: float = 0.25,
         fusion_iou_threshold: float = 0.7,
