@@ -256,7 +256,7 @@ def main():
     timed = {"v0_current": v0, "v1_sorted_segops": v1, "v6_packed_one_scatter": v6}
     if "--all" not in sys.argv:
         variants = {"v1": v1, "v6": v6}
-    tol = {"v6": 5e-4}  # v6 requantizes height/intensity (1.2e-4 / 2.4e-4)
+    tol = {"v6": 5e-4}  # v6 requantizes height/intensity (6.1e-5 / 1.2e-4)
     for name, fn in variants.items():
         r = np.asarray(jax.vmap(fn)(pts[:4], valid[:4]))
         err = np.abs(r - r0).max()

@@ -38,6 +38,27 @@ def test_test_cli_end_to_end(tmp_path):
             ), f"missing {tag} heatmap for class {cls}"
 
 
+def test_argoverse_cli_end_to_end(tmp_path):
+    """argoverse-test main() on the mini-Argoverse fixture. The runner has
+    per-frame try/except resilience (argo_sfa_test.py:219-383 parity), so a
+    silently-failing frame would still exit 0 — the real assertion is that
+    the per-frame artifacts (written AFTER detection + GT projection) land."""
+    from sfa3d_tpu.cli.argoverse_test import main as argo_main
+    from sfa3d_tpu.data.argoverse import write_mini_argoverse
+
+    root = write_mini_argoverse(str(tmp_path / "argo"), n_frames=1)
+    out = str(tmp_path / "results")
+    argo_main([
+        "--dataset_dir", root,
+        "--output_dir", out,
+        "--peak_thresh", "0.0",
+        "--num_samples", "1",
+    ])
+    files = os.listdir(out)
+    assert any(f.endswith("_bev.jpg") for f in files), files
+    assert any(f.endswith("_rgb.jpg") for f in files), files
+
+
 def test_demo_cli_two_sides_end_to_end(tmp_path):
     from sfa3d_tpu.cli.demo import main as demo_main
     from sfa3d_tpu.data.synthetic import write_mini_drive
