@@ -38,6 +38,45 @@ def test_test_cli_end_to_end(tmp_path):
             ), f"missing {tag} heatmap for class {cls}"
 
 
+def test_eval_cli_end_to_end(tmp_path):
+    """eval main() (beyond-reference KITTI AP entry) over the fixture val
+    split: returns the full results dict — per-class AP, mAP, and the
+    Easy/Moderate/Hard table the reference publishes without code."""
+    from sfa3d_tpu.cli.eval import main as eval_main
+    from sfa3d_tpu.data.synthetic import write_mini_kitti
+
+    root = write_mini_kitti(str(tmp_path / "kitti"), n_frames=2, cameras=False)
+    res = eval_main([
+        "--dataset_dir", root,
+        "--split", "val",
+        "--num_samples", "2",
+        "--peak_thresh", "0.0",
+    ])
+    assert 0.0 <= res["mAP"] <= 1.0
+    assert set(res["by_difficulty"]) == {"Easy", "Moderate", "Hard"}
+    for bucket in res["by_difficulty"].values():
+        assert 0.0 <= bucket["mAP"] <= 1.0
+
+
+def test_stereo_calib_cli_end_to_end(tmp_path, capsys):
+    """stereo-calib main() over the fixture's rendered image_2/image_3 pair
+    (true 0.54 m baseline): the pair must actually CALIBRATE (1/1), not
+    just produce output files."""
+    from sfa3d_tpu.cli.stereo_calib import main as sc_main
+    from sfa3d_tpu.data.synthetic import write_mini_kitti
+
+    root = write_mini_kitti(str(tmp_path / "kitti"), n_frames=1)
+    out = str(tmp_path / "out")
+    sc_main([
+        "--dataset_dir", root,
+        "--num_samples", "1",
+        "--output_dir", out,
+        "--min_matches", "30",
+    ])
+    assert os.path.isfile(os.path.join(out, "000000_estimated_calib.txt"))
+    assert "calibrated 1/1 pairs successfully" in capsys.readouterr().out
+
+
 def test_argoverse_cli_end_to_end(tmp_path):
     """argoverse-test main() on the mini-Argoverse fixture. The runner has
     per-frame try/except resilience (argo_sfa_test.py:219-383 parity), so a
