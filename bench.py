@@ -23,6 +23,8 @@ Flags: --profile DIR wraps the timed loops in jax.profiler.trace(DIR)
 import argparse
 import contextlib
 import json
+import os
+import threading
 import time
 
 import numpy as np
@@ -205,6 +207,35 @@ def bench_train(args):
     )
 
 
+def start_watchdog(seconds: float) -> threading.Timer:
+    """The tunneled TPU in this environment can wedge COMPLETELY (trivial
+    ops from fresh processes hang >10 min; observed mid-round, see
+    .claude/skills/verify/SKILL.md). A wedged chip would make this script
+    hang forever and leave the round with NO bench record at all — so if
+    the run hasn't finished within `seconds`, print an honest diagnostic
+    JSON line (value 0, error field) and exit nonzero. Override the budget
+    with SFA3D_BENCH_WATCHDOG_SECS; 0 disables."""
+
+    def fire():
+        print(json.dumps({
+            "metric": "end-to-end KITTI frames/sec/chip (BEV+KFPN+YOLOv8n+Bayesian fusion+Gaussian NMS, float32 parity mode)",
+            "value": 0.0,
+            "unit": "frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": f"bench did not complete within {seconds:.0f}s — "
+                     "TPU tunnel wedged (this environment's known failure "
+                     "mode: even trivial device ops hang). This is an "
+                     "infrastructure failure, not a framework regression; "
+                     "see the last completed hardware run in BENCH_r*.json.",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -220,6 +251,9 @@ def main():
     ap.add_argument("--train_iters", type=int, default=10)
     args = ap.parse_args()
 
+    budget = float(os.environ.get("SFA3D_BENCH_WATCHDOG_SECS", "1800"))
+    watchdog = start_watchdog(budget) if budget > 0 else None
+
     if args.train:
         import contextlib as _ctx
 
@@ -230,6 +264,8 @@ def main():
         )
         with prof:
             bench_train(args)
+        if watchdog is not None:
+            watchdog.cancel()
         return
 
     import jax
@@ -280,6 +316,8 @@ def main():
                 sfa_best = sfa_fps
 
     fps, mean_ms, batch = best
+    if watchdog is not None:
+        watchdog.cancel()
     print(
         json.dumps(
             {
