@@ -208,6 +208,8 @@ def main(argv=None):
             )
             if is_chief:
                 logger.info(f"save a checkpoint at {path}")
+                if configs.runtime.val_ap:
+                    maybe_val_ap(configs, path, epoch, logger, tb_writer)
                 prune_checkpoints(
                     configs.checkpoints_dir, configs.runtime.saved_fn,
                     configs.runtime.keep_checkpoints,
@@ -216,6 +218,41 @@ def main(argv=None):
     profile.close()
     if tb_writer is not None:
         tb_writer.close()
+
+
+def maybe_val_ap(configs, ckpt_path, epoch, logger, tb_writer):
+    """Val-split detection AP at a checkpoint epoch (--val_ap): runs the
+    eval CLI in-process against the just-saved checkpoint and logs
+    mAP + per-class AP. The reference's validation is loss-only
+    (train.py:251-285); AP is the signal that actually selects models
+    (see GENERALIZE_CHECK.json best-val protocol). Chief-only: evaluation
+    is single-process work, and TB/checkpoints are chief duties."""
+    if configs.data.dataset != "kitti":
+        logger.warning("--val_ap supports the KITTI layout only; skipping")
+        return None
+    from sfa3d_tpu.cli.eval import main as eval_main
+
+    ap_args = [
+        "--dataset_dir", configs.data.dataset_dir,
+        "--split", "val",
+        "--arch", configs.model.arch,
+        "--pretrained_path", ckpt_path,
+        "--K", str(configs.decode.K),
+        "--peak_thresh", str(configs.decode.peak_thresh),
+    ]
+    if configs.runtime.val_ap_samples:
+        ap_args += ["--num_samples", str(configs.runtime.val_ap_samples)]
+    res = eval_main(ap_args)
+    per_class = {k: v for k, v in res.items()
+                 if k.startswith("AP_") and not isinstance(v, dict)}
+    logger.info(
+        f"val AP (epoch {epoch}): mAP {res['mAP']:.4f} "
+        + " ".join(f"{k} {v:.4f}" for k, v in sorted(per_class.items()))
+    )
+    if tb_writer is not None:
+        tb_writer.add_scalar("Val_mAP", res["mAP"], epoch)
+        tb_writer.add_scalars("Val_AP", per_class, epoch)
+    return res
 
 
 def validate(val_loader, state, eval_step, mesh) -> float:

@@ -114,6 +114,13 @@ class RuntimeConfig:
     # force a jax platform (the axon TPU plugin ignores JAX_PLATFORMS; the
     # config flag wins) — mainly for CPU smoke runs of the training CLI
     platform: Optional[str] = None
+    # run the full detection-AP evaluator (eval CLI) on the val split at
+    # every checkpoint epoch and log mAP to console + TensorBoard — the
+    # model-selection signal the reference never computes (its val loop is
+    # loss-only, train.py:251-285). val_ap_samples caps the evaluated
+    # frames (None = the whole split).
+    val_ap: bool = False
+    val_ap_samples: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,6 +206,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu"],
                    help="force a jax platform (cpu smoke runs)")
+    p.add_argument("--val_ap", action="store_true",
+                   help="evaluate val-split detection AP (3D) at every "
+                        "checkpoint epoch; logs mAP + per-class AP")
+    p.add_argument("--val_ap_samples", type=int, default=None, metavar="N",
+                   help="cap the frames evaluated by --val_ap (default: all)")
     return p
 
 
@@ -253,6 +265,8 @@ def parse_train_configs(argv=None) -> TrainConfig:
             mesh_shape=args.mesh_shape,
             profile_dir=args.profile_dir,
             platform=args.platform,
+            val_ap=args.val_ap,
+            val_ap_samples=args.val_ap_samples,
         ),
         decode=DecodeConfig(K=args.K, peak_thresh=args.peak_thresh),
     )

@@ -227,6 +227,43 @@ def test_auto_resume_and_checkpoint_retention(tmp_path, rng):
     assert os.path.exists(os.path.join(d, "Model_ar_epoch_2"))
 
 
+def test_maybe_val_ap_runs_eval_on_checkpoint(tmp_path):
+    """--val_ap: a just-saved FULL-SIZE checkpoint must round-trip into the
+    eval CLI and produce a structured AP result (the in-training
+    model-selection signal; reference validation is loss-only)."""
+    import os
+
+    from sfa3d_tpu.cli.train import maybe_val_ap
+    from sfa3d_tpu.config.train import parse_train_configs
+    from sfa3d_tpu.data.synthetic import write_mini_kitti
+    from sfa3d_tpu.runtime.checkpoint import save_checkpoint
+    from sfa3d_tpu.runtime.logger import Logger
+
+    root = write_mini_kitti(str(tmp_path / "kitti"), n_frames=1, cameras=False)
+    configs = parse_train_configs([
+        "--dataset_dir", root, "--root-dir", str(tmp_path),
+        "--saved_fn", "vap", "--val_ap", "--val_ap_samples", "1",
+        "--peak_thresh", "0.0",
+    ])
+    assert configs.runtime.val_ap and configs.runtime.val_ap_samples == 1
+
+    model = create_model(configs.model.arch)
+    variables = init_detector(model, jax.random.PRNGKey(0))  # full 608^2
+    tx = create_optimizer(configs.optim, 2, 2)
+    state = replicate(make_mesh(1), create_train_state(model, variables, tx))
+    os.makedirs(configs.checkpoints_dir, exist_ok=True)
+    path = save_checkpoint(configs.checkpoints_dir, "vap", state, 1)
+
+    logger = Logger(configs.logs_dir, "vap")
+    res = maybe_val_ap(configs, path, 1, logger, None)
+    assert res is not None and 0.0 <= res["mAP"] <= 1.0
+    assert set(res["by_difficulty"]) == {"Easy", "Moderate", "Hard"}
+
+    # non-KITTI layouts are skipped with a warning, never crash the loop
+    argo = configs.replace(data=configs.data.__class__(dataset="argoverse"))
+    assert maybe_val_ap(argo, path, 1, logger, None) is None
+
+
 def test_resume_continues_schedule_and_optimizer_exactly(tmp_path):
     """A killed-and-resumed run must be indistinguishable from an
     uninterrupted one: after checkpoint restore, the optimizer moments, the
