@@ -259,6 +259,12 @@ def create_train_loader(configs, dataset_cls=None, process_index: int = 0,
     from sfa3d_tpu.data.augment import default_train_aug
     from sfa3d_tpu.data.kitti import KittiDataset
 
+    if dataset_cls is None and getattr(configs.data, "dataset", "kitti") == "argoverse":
+        # --dataset argoverse: the Argoverse dataset/loader pair
+        # (argoverse_dataloader.py parity; no lidar aug — the reference's
+        # Argoverse path has none)
+        return _create_argoverse_loader(configs, "train", process_index,
+                                        process_count)
     dataset_cls = dataset_cls or KittiDataset
     dataset = dataset_cls(
         configs.data.dataset_dir,
@@ -293,10 +299,44 @@ def create_train_loader(configs, dataset_cls=None, process_index: int = 0,
     )
 
 
+def _create_argoverse_loader(configs, mode: str, process_index: int,
+                             process_count: int):
+    from sfa3d_tpu.data.argoverse import ArgoverseDataset, ArgoverseTrainLoader
+
+    dataset = ArgoverseDataset(
+        configs.data.dataset_dir,
+        mode=mode,
+        num_samples=configs.data.num_samples,
+        max_objects=configs.data.max_objects,
+    )
+    subdivisions = (
+        max(1, configs.optim.effective_batch // configs.runtime.batch_size)
+        if mode == "train" else 1
+    )
+    assert configs.runtime.batch_size % process_count == 0, (
+        f"batch_size {configs.runtime.batch_size} must divide evenly over "
+        f"{process_count} processes"
+    )
+    return ArgoverseTrainLoader(
+        dataset,
+        batch_size=configs.runtime.batch_size // process_count,
+        subdivisions=subdivisions,
+        shuffle=(mode == "train"),
+        seed=configs.runtime.seed,
+        drop_last=(mode == "train"),
+        process_index=process_index,
+        process_count=process_count,
+        num_workers=configs.data.num_workers,
+    )
+
+
 def create_val_loader(configs, dataset_cls=None, process_index: int = 0,
                       process_count: int = 1):
     from sfa3d_tpu.data.kitti import KittiDataset
 
+    if dataset_cls is None and getattr(configs.data, "dataset", "kitti") == "argoverse":
+        return _create_argoverse_loader(configs, "val", process_index,
+                                        process_count)
     dataset_cls = dataset_cls or KittiDataset
     dataset = dataset_cls(
         configs.data.dataset_dir, mode="val", lidar_aug=None, hflip_prob=0.0,

@@ -196,6 +196,31 @@ def test_argoverse_train_loader(mini_argo):
     assert hm.max() == 1.0
 
 
+def test_create_loader_honors_dataset_argoverse(mini_argo):
+    """`cli train --dataset argoverse` must actually build the Argoverse
+    dataset/loader pair — the factory previously ignored configs.data.dataset
+    and always constructed KittiDataset (which would misread an Argoverse
+    directory layout)."""
+    from sfa3d_tpu.config.train import parse_train_configs
+    from sfa3d_tpu.data.argoverse import ArgoverseTrainLoader
+    from sfa3d_tpu.data.loader import create_train_loader, create_val_loader
+
+    configs = parse_train_configs([
+        "--dataset", "argoverse", "--dataset_dir", mini_argo,
+        "--batch_size", "2", "--effective_batch", "2", "--num_workers", "0",
+    ])
+    loader = create_train_loader(configs)
+    assert isinstance(loader, ArgoverseTrainLoader)
+    batch = next(iter(loader))
+    assert batch["bev"].shape == (1, 2, 608, 608, 3)
+    assert float(batch["targets"]["obj_mask"].sum()) > 0
+
+    val = create_val_loader(configs)
+    assert isinstance(val, ArgoverseTrainLoader)
+    vb = next(iter(val))
+    assert vb["bev"].shape[-3:] == (608, 608, 3)
+
+
 def test_argoverse_targets_align_with_raster():
     """Regression: heatmap targets must land where the object sits in the
     CROPPED, x-flipped Argoverse raster (code-review finding: the original
