@@ -75,6 +75,9 @@ class DataConfig:
 class OptimConfig:
     optimizer_type: str = "adam"  # or "sgd" (nesterov, reference train_utils.py:29-46)
     lr: float = 1e-3
+    # accepted for flag parity; DEAD in the reference too (declared at
+    # train_config.py:68, consumed nowhere) — the cosine schedule's
+    # built-in 0.1*lr floor is the effective minimum
     minimum_lr: float = 1e-7
     momentum: float = 0.949
     weight_decay: float = 0.0
@@ -127,6 +130,9 @@ class RuntimeConfig:
 class DecodeConfig:
     K: int = 50
     peak_thresh: float = 0.2
+    # heatmap peak-NMS window; fixed at 3 in the reference decode
+    # (evaluation_utils.py _nms) and in ops/decode.heat_nms's default —
+    # recorded here for completeness, not CLI-exposed
     nms_kernel: int = 3
 
 
