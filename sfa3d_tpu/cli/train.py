@@ -35,6 +35,13 @@ def main(argv=None):
     if configs.runtime.platform:
         # before any backend init (the axon plugin ignores JAX_PLATFORMS)
         jax.config.update("jax_platforms", configs.runtime.platform)
+    if configs.runtime.compilation_cache is not None:
+        from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+        used = enable_compilation_cache(
+            configs.runtime.compilation_cache or None
+        )
+        print(f"persistent XLA compilation cache: {used}")
 
     # multi-host glue (reference dist.init_process_group, train.py:82-83):
     # must run before any other jax call so every process sees the global

@@ -124,6 +124,10 @@ class RuntimeConfig:
     # frames (None = the whole split).
     val_ap: bool = False
     val_ap_samples: Optional[int] = None
+    # persistent XLA compilation cache directory ("" -> the default under
+    # ~/.cache/sfa3d_tpu). Auto-resume relaunches and repeated runs then
+    # skip the minutes-long 608^2 grad compile on the tunneled chip.
+    compilation_cache: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,6 +221,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "checkpoint epoch; logs mAP + per-class AP")
     p.add_argument("--val_ap_samples", type=int, default=None, metavar="N",
                    help="cap the frames evaluated by --val_ap (default: all)")
+    p.add_argument("--compilation_cache", default=None, metavar="DIR",
+                   nargs="?", const="",
+                   help="persist XLA executables under DIR (default "
+                        "~/.cache/sfa3d_tpu/xla_cache) so auto-resume "
+                        "relaunches skip the minutes-long train-step compile")
     return p
 
 
@@ -273,6 +282,7 @@ def parse_train_configs(argv=None) -> TrainConfig:
             platform=args.platform,
             val_ap=args.val_ap,
             val_ap_samples=args.val_ap_samples,
+            compilation_cache=args.compilation_cache,
         ),
         decode=DecodeConfig(K=args.K, peak_thresh=args.peak_thresh),
     )

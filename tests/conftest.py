@@ -24,6 +24,19 @@ assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, (
     "tests must run on the 8-device virtual CPU mesh, got: " + str(jax.devices())
 )
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# repeat CPU compiles of the same 608² programs across test processes
+# (subprocess-driven CLI/serving tests re-pay every compile). Cache keys
+# are HLO hashes, so results are unaffected. Disable with
+# SFA3D_TEST_NO_COMPILE_CACHE=1 to measure true cold-compile behavior.
+if not os.environ.get("SFA3D_TEST_NO_COMPILE_CACHE"):
+    from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(os.path.expanduser("~"), ".cache", "sfa3d_tpu",
+                     "xla_cache_tests")
+    )
+
 
 @pytest.fixture()
 def rng():

@@ -227,6 +227,20 @@ def test_auto_resume_and_checkpoint_retention(tmp_path, rng):
     assert os.path.exists(os.path.join(d, "Model_ar_epoch_2"))
 
 
+def test_compilation_cache_flag_parses():
+    """--compilation_cache: bare flag -> '' (default dir); explicit DIR
+    passes through; absent -> None (off). The enable path itself is
+    exercised by tests/conftest.py, which turns the cache on for the whole
+    suite."""
+    from sfa3d_tpu.config.train import parse_train_configs
+
+    assert parse_train_configs([]).runtime.compilation_cache is None
+    assert parse_train_configs(
+        ["--compilation_cache"]).runtime.compilation_cache == ""
+    assert parse_train_configs(
+        ["--compilation_cache", "/tmp/x"]).runtime.compilation_cache == "/tmp/x"
+
+
 def test_maybe_val_ap_runs_eval_on_checkpoint(tmp_path):
     """--val_ap: a just-saved FULL-SIZE checkpoint must round-trip into the
     eval CLI and produce a structured AP result (the in-training
