@@ -22,6 +22,9 @@ def parse_args(argv=None):
     p.add_argument("--peak_thresh", type=float, default=0.2)
     p.add_argument("--metric", type=str, default="3d", choices=["3d", "bev"])
     p.add_argument("--num_samples", type=int, default=None)
+    p.add_argument("--save_results", type=str, default=None, metavar="DIR",
+                   help="also write per-frame KITTI submission-format label "
+                        "files (camera-frame rows + score) under DIR")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu"],
                    help="force a jax platform (the axon plugin ignores "
@@ -70,6 +73,21 @@ def main(argv=None):
         if sample.levels is not None:
             gt["difficulty"] = sample.levels[: int(sample.n_labels)]
         ground_truths.append(gt)
+        if args.save_results:
+            # KITTI submission-format dump (the shape the official devkit
+            # evaluates; the reference publishes AP but writes no results)
+            import os
+
+            from sfa3d_tpu.detector import format_detections, write_kitti_results
+
+            write_kitti_results(
+                format_detections(
+                    {k: np.asarray(out[k])
+                     for k in ("mask", "boxes_real", "detections")}, 0
+                ),
+                sample.calib,
+                os.path.join(args.save_results, f"{sample.sample_id:06d}.txt"),
+            )
         if (idx + 1) % 50 == 0:
             print(f"{idx + 1}/{len(dataset)} frames")
 

@@ -46,6 +46,30 @@ def format_detections(out: Dict, i: int) -> List[Dict]:
     return dets
 
 
+def write_kitti_results(dets: List[Dict], calib, path: str):
+    """Write detections as a KITTI submission-format label file (one row per
+    detection, camera-frame, score appended) — the layout the official
+    devkit evaluates. Module-level so the eval CLI (--save_results) can use
+    it without constructing a Detector."""
+    from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for d in dets:
+            box = np.asarray(
+                [[d["x"], d["y"], d["z"], d["h"], d["w"], d["l"], d["yaw"]]]
+            )
+            cam = np.asarray(
+                lidar_to_camera_box(box, calib.V2C, calib.R0, calib.P2)
+            )[0]
+            x, y, z, h, w, l, ry = cam
+            f.write(
+                f"{d['class_name']} 0.00 0 0.00 0 0 50 50 "
+                f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
+                f"{ry:.2f} {d['score']:.4f}\n"
+            )
+
+
 class Detector:
     def __init__(
         self,
@@ -115,23 +139,7 @@ class Detector:
     def write_kitti_results(self, dets: List[Dict], calib, path: str):
         """Write detections as a KITTI submission-format label file (one row
         per detection, camera-frame, score appended)."""
-        from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
-
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
-            for d in dets:
-                box = np.asarray(
-                    [[d["x"], d["y"], d["z"], d["h"], d["w"], d["l"], d["yaw"]]]
-                )
-                cam = np.asarray(
-                    lidar_to_camera_box(box, calib.V2C, calib.R0, calib.P2)
-                )[0]
-                x, y, z, h, w, l, ry = cam
-                f.write(
-                    f"{d['class_name']} 0.00 0 0.00 0 0 50 50 "
-                    f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} "
-                    f"{ry:.2f} {d['score']:.4f}\n"
-                )
+        write_kitti_results(dets, calib, path)
 
 
 class ArtifactDetector:

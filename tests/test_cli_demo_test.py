@@ -46,16 +46,27 @@ def test_eval_cli_end_to_end(tmp_path):
     from sfa3d_tpu.data.synthetic import write_mini_kitti
 
     root = write_mini_kitti(str(tmp_path / "kitti"), n_frames=2, cameras=False)
+    results_dir = str(tmp_path / "kitti_results")
     res = eval_main([
         "--dataset_dir", root,
         "--split", "val",
         "--num_samples", "2",
         "--peak_thresh", "0.0",
+        "--save_results", results_dir,
     ])
     assert 0.0 <= res["mAP"] <= 1.0
     assert set(res["by_difficulty"]) == {"Easy", "Moderate", "Hard"}
     for bucket in res["by_difficulty"].values():
         assert 0.0 <= bucket["mAP"] <= 1.0
+
+    # KITTI submission-format dump: one file per frame, 16-column rows
+    # (15 devkit label fields + trailing score), valid class names
+    for sid in ("000000", "000001"):
+        rows = [l.split() for l in open(os.path.join(results_dir, f"{sid}.txt"))]
+        assert rows, f"{sid}.txt is empty (peak_thresh 0 must yield rows)"
+        for r in rows:
+            assert len(r) == 16 and r[0] in ("Pedestrian", "Car", "Cyclist")
+            assert 0.0 <= float(r[15]) <= 1.0  # score column
 
 
 def test_stereo_calib_cli_end_to_end(tmp_path, capsys):
