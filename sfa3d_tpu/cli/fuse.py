@@ -39,11 +39,55 @@ def parse_args(argv=None):
     p.add_argument("--imgsz", type=int, default=640,
                    help="YOLOv8 letterbox size (stride-32 multiple; "
                         "ultralytics imgsz)")
+    p.add_argument("--artifact", type=str, default=None, metavar="PATH.sfa3dx",
+                   help="run frames through a FUSED AOT export (cli export "
+                        "--fused) instead of rebuilding the models: weights, "
+                        "fusion mode/thresholds, and camera geometry come "
+                        "baked from the artifact manifest")
     return p.parse_args(argv)
 
 
 SOURCE_COLORS = {0: (0, 255, 255), 1: (255, 0, 0), 2: (0, 255, 0)}  # yolo/sfa/fused
 SOURCE_NAMES = {0: "YOLOv8", 1: "SFA3D", 2: "Fused"}
+
+
+def _run_artifact_frame(artifact, sample, img_bgr, calib):
+    """One frame through a fused AOT export: repad the scan to the
+    artifact's point budget, letterbox the camera frame to its baked
+    geometry, call the serialized program, strip the validity masks."""
+    import cv2
+    import numpy as np
+
+    from sfa3d_tpu.models.yolov8 import letterbox
+    from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+    m = artifact.manifest
+    h, w = img_bgr.shape[:2]
+    if [h, w] != list(m["img_hw"]):
+        raise SystemExit(
+            f"frame is {h}x{w} but the artifact bakes img_hw={m['img_hw']} "
+            "(letterbox geometry is a compile-time constant; re-export for "
+            "this camera)"
+        )
+    pts, valid = filter_and_pad_points(
+        sample.points[np.asarray(sample.valid)], max_points=m["max_points"]
+    )
+    lb, _, _ = letterbox(
+        cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB), m["letterbox"]
+    )
+    out = artifact.call(
+        pts[None], valid[None], lb[None].astype(np.float32),
+        np.asarray(calib.V2C, np.float32)[None],
+        np.asarray(calib.R0, np.float32)[None],
+        np.asarray(calib.P2, np.float32)[None],
+    )
+    v = np.asarray(out["valid"])[0]
+    return {
+        "boxes": np.asarray(out["boxes"])[0][v].astype(int),
+        "scores": np.asarray(out["scores"])[0][v],
+        "classes": np.asarray(out["classes"])[0][v],
+        "source": np.asarray(out["source"])[0][v],
+    }
 
 
 def main(argv=None):
@@ -59,44 +103,77 @@ def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model)
+    artifact = None
+    if args.artifact:
+        if args.side_by_side:
+            raise SystemExit(
+                "--side_by_side needs the separate YOLO/SFA3D branches; a "
+                "fused artifact runs them as one program (drop --artifact "
+                "or --side_by_side)"
+            )
+        from sfa3d_tpu.runtime.export import load_exported
 
-    yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights),
-                          imgsz=args.imgsz)
+        artifact = load_exported(args.artifact)
+        if artifact.manifest.get("kind") != "fused":
+            raise SystemExit(
+                f"{args.artifact}: kind={artifact.manifest.get('kind')!r}; "
+                "the fuse CLI needs a FUSED export (cli export --fused)"
+            )
+        print(
+            "fusion config comes baked from the artifact manifest "
+            f"({artifact.manifest.get('fused_kwargs')}); --mode/threshold "
+            "flags are ignored"
+        )
+        model = variables = yolo = None
+    else:
+        model = create_model(args.arch)
+        variables = load_variables(args.pretrained_path, args.arch, model)
+        yolo = YOLOv8Detector(
+            scale="n", variables=load_yolo_variables(args.yolo_weights),
+            imgsz=args.imgsz,
+        )
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     counts_before, counts_after = [], []
     for idx in range(len(dataset)):
         sample = dataset[idx]
         t0 = time.time()
-        out = detect_frames(
-            model, variables, sample.points[None], sample.valid[None],
-            K=50, peak_thresh=args.peak_thresh,
-        )
         img = cv2.imread(sample.img_path)
         if img is None:
             img = np.zeros((375, 1242, 3), np.uint8)
-        yb, ys, yc = yolo(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), conf=args.confidence_threshold)
-
         calib_path = sample.img_path.replace(".png", ".txt").replace("image_2", "calib")
         calib = KittiCalibration(calib_path if os.path.isfile(calib_path) else None)
-        result = fuse_frame(
-            yb, ys, yc,
-            np.asarray(out["boxes_real"])[0],
-            np.asarray(out["detections"])[0, :, 0],
-            np.asarray(out["mask"])[0],
-            calib, img.shape[:2],
-            mode=args.mode,
-            confidence_threshold=args.confidence_threshold,
-            fusion_iou_threshold=args.fusion_iou_threshold,
-            nms_threshold=args.nms_threshold,
-            use_gaussian_nms=args.gaussian_nms,
-            gaussian_sigma=args.gaussian_sigma,
-        )
-        dt = time.time() - t0
-        counts_before.append(len(yb) + int(np.asarray(out["mask"])[0].sum()))
-        counts_after.append(len(result["boxes"]))
+
+        if artifact is not None:
+            result = _run_artifact_frame(artifact, sample, img, calib)
+            dt = time.time() - t0
+            # pre-fusion branch counts are not observable from the single
+            # fused program; the dashboard records output counts only
+            counts_before.append(len(result["boxes"]))
+            counts_after.append(len(result["boxes"]))
+        else:
+            out = detect_frames(
+                model, variables, sample.points[None], sample.valid[None],
+                K=50, peak_thresh=args.peak_thresh,
+            )
+            yb, ys, yc = yolo(cv2.cvtColor(img, cv2.COLOR_BGR2RGB), conf=args.confidence_threshold)
+
+            result = fuse_frame(
+                yb, ys, yc,
+                np.asarray(out["boxes_real"])[0],
+                np.asarray(out["detections"])[0, :, 0],
+                np.asarray(out["mask"])[0],
+                calib, img.shape[:2],
+                mode=args.mode,
+                confidence_threshold=args.confidence_threshold,
+                fusion_iou_threshold=args.fusion_iou_threshold,
+                nms_threshold=args.nms_threshold,
+                use_gaussian_nms=args.gaussian_nms,
+                gaussian_sigma=args.gaussian_sigma,
+            )
+            dt = time.time() - t0
+            counts_before.append(len(yb) + int(np.asarray(out["mask"])[0].sum()))
+            counts_after.append(len(result["boxes"]))
 
         if args.side_by_side:
             # test3.py parity: separate per-model comparison images
@@ -132,7 +209,8 @@ def main(argv=None):
             name = COCO_NAMES[cls] if int(src) != 1 and cls < len(COCO_NAMES) else f"cls{cls}"
             cv2.putText(img, f"{SOURCE_NAMES[int(src)]} {name} {score:.2f}",
                         (x, max(0, y - 5)), cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
-        cv2.putText(img, f"{args.mode} fusion  {1.0 / max(dt, 1e-9):.1f} FPS",
+        mode_label = "artifact" if artifact is not None else args.mode
+        cv2.putText(img, f"{mode_label} fusion  {1.0 / max(dt, 1e-9):.1f} FPS",
                     (10, 25), cv2.FONT_HERSHEY_SIMPLEX, 0.8, (255, 255, 255), 2)
         cv2.imwrite(os.path.join(args.output_dir, f"{sample.sample_id:06d}_fused.jpg"), img)
         print(f"frame {sample.sample_id}: {counts_before[-1]} -> {counts_after[-1]} dets "
@@ -140,8 +218,14 @@ def main(argv=None):
 
     # detection-count dashboard (test6.py:396-471 analog)
     with open(os.path.join(args.output_dir, "summary.txt"), "w") as f:
-        f.write(f"mode: {args.mode}\nframes: {len(counts_before)}\n")
-        f.write(f"mean detections before fusion/NMS: {np.mean(counts_before):.2f}\n")
+        if artifact is not None:
+            f.write(f"mode: artifact ({args.artifact})\n"
+                    f"frames: {len(counts_before)}\n")
+            f.write("pre-fusion branch counts are not observable from the "
+                    "single fused program\n")
+        else:
+            f.write(f"mode: {args.mode}\nframes: {len(counts_before)}\n")
+            f.write(f"mean detections before fusion/NMS: {np.mean(counts_before):.2f}\n")
         f.write(f"mean detections after fusion/NMS: {np.mean(counts_after):.2f}\n")
 
 

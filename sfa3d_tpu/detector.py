@@ -163,7 +163,8 @@ class ArtifactDetector:
             raise ValueError(
                 f"{path}: artifact kind {m.get('kind')!r} cannot back the "
                 "LiDAR detector server (need kind='detector'; fused "
-                "artifacts take images+calib per request)"
+                "artifacts take images+calib per request — drive them with "
+                "`cli fuse --artifact`)"
             )
         self.K = m["K"]
         self.peak_thresh = m["peak_thresh"]
