@@ -46,6 +46,13 @@ def build_parser():
                         "(SFA3D+YOLOv8n+Bayesian fusion+Gaussian NMS)")
     p.add_argument("--yolo_weights", type=str, default=None,
                    help="ultralytics yolov8n .pt for --fused")
+    p.add_argument("--img_hw", type=int, nargs=2, default=(375, 1242),
+                   metavar=("H", "W"),
+                   help="camera frame size baked into a fused artifact's "
+                        "letterbox geometry (default: KITTI 375 1242)")
+    p.add_argument("--letterbox", type=int, default=640,
+                   help="YOLO input size baked into a fused artifact "
+                        "(stride-32 multiple)")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu"],
                    help="force the local jax backend used to trace/export")
@@ -82,11 +89,13 @@ def main(argv=None):
             import jax.numpy as jnp
 
             yolo_vars = yolo.init(
-                jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3), jnp.float32)
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, args.letterbox, args.letterbox, 3), jnp.float32),
             )
         exported, manifest = export_fused(
             model, variables, yolo, yolo_vars,
             batch=args.batch, platforms=platforms, max_points=max_points,
+            img_hw=tuple(args.img_hw), letterbox=args.letterbox,
         )
     else:
         exported, manifest = export_detector(

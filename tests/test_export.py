@@ -126,6 +126,24 @@ def test_fused_export_roundtrip(det, tmp_path):
     assert np.isfinite(np.asarray(out["scores"])).all()
 
 
+def test_cli_export_fused_entry_bakes_geometry(tmp_path):
+    """export CLI --fused with --img_hw/--letterbox: the camera geometry
+    lands in the manifest (what cli fuse --artifact validates against)."""
+    from sfa3d_tpu.cli.export import main as export_main
+
+    out = str(tmp_path / "fused_cli.sfa3dx")
+    manifest = export_main([
+        "--fused", "--batch", "1", "--letterbox", "64",
+        "--img_hw", "48", "64", "-o", out,
+    ])
+    assert manifest["kind"] == "fused"
+    assert manifest["letterbox"] == 64
+    assert manifest["img_hw"] == [48, 64]
+    assert os.path.getsize(out) > 1_000_000
+    art = load_exported(out)
+    assert art.manifest["letterbox_pad"] == manifest["letterbox_pad"]
+
+
 def test_cli_export_entry(tmp_path):
     from sfa3d_tpu.cli.export import main as export_main
 
@@ -231,7 +249,15 @@ def test_artifact_detector_rejects_fused_kind(det, tmp_path):
 
 
 def test_enable_compilation_cache(tmp_path):
+    # jax pins the persistent cache backend to the FIRST directory used
+    # (module-level singleton) — conftest already enabled the suite-wide
+    # cache, so redirecting requires resetting that singleton, and the
+    # suite's dir must be restored afterward for later tests
+    from jax._src import compilation_cache as _cc
+
+    prev_dir = jax.config.jax_compilation_cache_dir
     cache_dir = str(tmp_path / "xla_cache")
+    _cc.reset_cache()
     got = enable_compilation_cache(cache_dir)
     try:
         assert got == cache_dir and os.path.isdir(cache_dir)
@@ -244,4 +270,5 @@ def test_enable_compilation_cache(tmp_path):
         entries = os.listdir(cache_dir)
         assert entries, "no persistent-cache entry written"
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        _cc.reset_cache()
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
