@@ -91,13 +91,17 @@ def main(argv=None):
         if (idx + 1) % 50 == 0:
             print(f"{idx + 1}/{len(dataset)} frames")
 
-    results = evaluate_kitti_ap(detections, ground_truths, metric=args.metric)
+    results = evaluate_kitti_ap(
+        detections, ground_truths, metric=args.metric, with_aos=True
+    )
     names = {0: "Pedestrian", 1: "Car", 2: "Cyclist"}
     for cls, name in names.items():
         key = f"AP_{cls}"
         if key in results:
-            print(f"AP_{args.metric} {name}: {results[key] * 100:.2f}")
-    print(f"mAP_{args.metric}: {results['mAP'] * 100:.2f}")
+            print(f"AP_{args.metric} {name}: {results[key] * 100:.2f}   "
+                  f"AOS: {results[f'AOS_{cls}'] * 100:.2f}")
+    print(f"mAP_{args.metric}: {results['mAP'] * 100:.2f}   "
+          f"mAOS: {results['mAOS'] * 100:.2f}")
 
     # Easy/Moderate/Hard table — the reference's published results shape
     # (/root/reference/README.md:223-226)

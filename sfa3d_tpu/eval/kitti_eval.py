@@ -99,6 +99,7 @@ def evaluate_kitti_ap(
     metric: str = "3d",
     iou_thresholds: Optional[Dict[int, float]] = None,
     difficulty: Optional[int] = None,
+    with_aos: bool = False,
 ) -> Dict[str, float]:
     """Compute per-class AP over a set of frames.
 
@@ -113,14 +114,19 @@ def evaluate_kitti_ap(
         count toward recall; HARDER GT are "ignored" per the KITTI protocol —
         detections matched to them are neither TP nor FP (frames without a
         'difficulty' array treat every GT as countable).
+      with_aos: also compute KITTI Average Orientation Similarity — the AP
+        integral with per-detection precision replaced by cumulative
+        (1+cos(yaw error))/2 over matched pairs (FPs contribute 0), so
+        AOS <= AP with equality iff every matched yaw is exact (the
+        official devkit's orientation metric).
 
-    Returns {'AP_<cls>': ap, ..., 'mAP': mean}.
+    Returns {'AP_<cls>': ap, ..., 'mAP': mean} (+ 'AOS_<cls>'/'mAOS').
     """
     matches = _collect_matches(
         detections, ground_truths, num_classes, metric,
         iou_thresholds or CLASS_IOU_THRESH,
     )
-    return _score_bucket(matches, num_classes, difficulty)
+    return _score_bucket(matches, num_classes, difficulty, with_aos=with_aos)
 
 
 def _collect_matches(detections, ground_truths, num_classes, metric,
@@ -138,25 +144,30 @@ def _collect_matches(detections, ground_truths, num_classes, metric,
             dm = det_classes == cls
             gm = gt_classes == cls
             det_scores = np.asarray(det["scores"], np.float32)[dm]
+            det_boxes = np.asarray(det["boxes"], np.float32)[dm]
             gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
-            iou = _frame_iou(
-                np.asarray(det["boxes"], np.float32)[dm], gt_boxes, metric
-            )
+            iou = _frame_iou(det_boxes, gt_boxes, metric)
             levels = levels_all[gm] if levels_all is not None else None
+            # yaw column (index 6 of [x,y,z,h,w,l,yaw]) feeds the AOS
+            # orientation-similarity curve for matched pairs
             per_class[cls].append(
-                (det_scores, iou, iou_thresholds[cls], len(gt_boxes), levels)
+                (det_scores, iou, iou_thresholds[cls], len(gt_boxes), levels,
+                 det_boxes[:, 6] if det_boxes.size else np.zeros(0, np.float32),
+                 gt_boxes[:, 6] if gt_boxes.size else np.zeros(0, np.float32))
             )
     return per_class
 
 
-def _score_bucket(per_class, num_classes, difficulty):
+def _score_bucket(per_class, num_classes, difficulty, with_aos=False):
     results = {}
     aps = []
+    aoss = []
     for cls in range(num_classes):
         scores_all: List[np.ndarray] = []
         tp_all: List[np.ndarray] = []
+        sim_all: List[np.ndarray] = []
         n_gt = 0
-        for det_scores, iou, thresh, ng, levels in per_class[cls]:
+        for det_scores, iou, thresh, ng, levels, dyaw, gyaw in per_class[cls]:
             if difficulty is not None and levels is not None:
                 countable = levels <= difficulty
             else:
@@ -167,6 +178,16 @@ def _score_bucket(per_class, num_classes, difficulty):
             # the PR curve entirely (KITTI "ignored": not FP, not TP)
             scores_all.append(det_scores[~ignored])
             tp_all.append((match >= 0)[~ignored])
+            if with_aos:
+                # KITTI orientation similarity: (1 + cos(dyaw)) / 2 for
+                # matched pairs, 0 for false positives (devkit AOS)
+                matched_gt_yaw = gyaw[np.maximum(match, 0)] if ng else np.zeros_like(dyaw)
+                sim = np.where(
+                    match >= 0,
+                    (1.0 + np.cos(dyaw - matched_gt_yaw)) / 2.0,
+                    0.0,
+                )
+                sim_all.append(sim[~ignored])
         scores = np.concatenate(scores_all) if scores_all else np.zeros(0)
         tps = np.concatenate(tp_all) if tp_all else np.zeros(0, bool)
         if n_gt == 0:
@@ -180,7 +201,18 @@ def _score_bucket(per_class, num_classes, difficulty):
         ap = _ap_r40(recall, precision) if len(recall) else 0.0
         results[f"AP_{cls}"] = ap
         aps.append(ap)
+        if with_aos:
+            sims = (np.concatenate(sim_all) if sim_all else np.zeros(0))[order]
+            # orientation-similarity "precision": cumulative similarity over
+            # ALL predictions so far (FPs contribute 0), on the same recall
+            # grid — so AOS <= AP with equality iff every TP's yaw is exact
+            sim_prec = np.cumsum(sims) / np.maximum(cum_tp + cum_fp, 1)
+            aos = _ap_r40(recall, sim_prec) if len(recall) else 0.0
+            results[f"AOS_{cls}"] = aos
+            aoss.append(aos)
     results["mAP"] = float(np.mean(aps)) if aps else 0.0
+    if with_aos:
+        results["mAOS"] = float(np.mean(aoss)) if aoss else 0.0
     return results
 
 
@@ -190,6 +222,7 @@ def evaluate_kitti_ap_by_difficulty(
     num_classes: int = 3,
     metric: str = "3d",
     iou_thresholds: Optional[Dict[int, float]] = None,
+    with_aos: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """Easy/Moderate/Hard AP table — the shape of the reference's published
     results (/root/reference/README.md:223-226). Pairwise IoUs are computed
@@ -200,6 +233,6 @@ def evaluate_kitti_ap_by_difficulty(
         iou_thresholds or CLASS_IOU_THRESH,
     )
     return {
-        name: _score_bucket(matches, num_classes, level)
+        name: _score_bucket(matches, num_classes, level, with_aos=with_aos)
         for level, name in DIFFICULTY_NAMES.items()
     }

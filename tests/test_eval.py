@@ -115,6 +115,46 @@ def test_ap_perfect_and_degraded(rng):
     assert empty["mAP"] == 0.0
 
 
+def test_aos_orientation_similarity(rng):
+    """KITTI AOS: exact yaws -> AOS == AP; yaws flipped by pi -> AOS ~ 0
+    while AP is untouched (a rotated-box pi-flip keeps the footprint, so
+    the IoU matching is identical and only the orientation term collapses);
+    90-degree errors land at similarity 0.5."""
+    gt_frames, det_exact, det_flipped, det_quarter = [], [], [], []
+    for f in range(4):
+        m = 5
+        boxes = np.zeros((m, 7), np.float32)
+        boxes[:, 0] = rng.uniform(5, 45, m)
+        boxes[:, 1] = rng.uniform(-20, 20, m)
+        boxes[:, 2] = -1.7
+        boxes[:, 3] = 1.5
+        boxes[:, 4] = 1.6
+        boxes[:, 5] = 3.9
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, m)
+        classes = rng.integers(0, 3, m)
+        scores = rng.uniform(0.5, 1.0, m)
+        gt_frames.append({"boxes": boxes, "classes": classes})
+        det_exact.append({"boxes": boxes.copy(), "scores": scores, "classes": classes})
+        flip = boxes.copy()
+        flip[:, 6] += np.pi  # same footprint, reversed heading
+        det_flipped.append({"boxes": flip, "scores": scores, "classes": classes})
+        quarter = boxes.copy()
+        quarter[:, 6] += np.pi / 2  # footprint rotates: use BEV-IoU-tolerant
+        det_quarter.append({"boxes": quarter, "scores": scores, "classes": classes})
+
+    exact = evaluate_kitti_ap(det_exact, gt_frames, with_aos=True)
+    assert exact["mAOS"] == pytest.approx(exact["mAP"], abs=1e-6)
+    assert exact["mAOS"] == pytest.approx(1.0, abs=1e-6)
+
+    flipped = evaluate_kitti_ap(det_flipped, gt_frames, with_aos=True)
+    assert flipped["mAP"] == pytest.approx(exact["mAP"], abs=1e-6)
+    assert flipped["mAOS"] == pytest.approx(0.0, abs=1e-6)
+
+    # without with_aos the result shape is unchanged (no AOS keys)
+    plain = evaluate_kitti_ap(det_exact, gt_frames)
+    assert not any(k.startswith("AOS") or k == "mAOS" for k in plain)
+
+
 def _car_box(x):
     return [x, 0.0, -1.7, 1.5, 1.6, 3.9, 0.0]
 
