@@ -205,6 +205,10 @@ def main():
         row = {
             "epoch": epoch,
             "val_mAP": round(res["mAP"], 4),
+            # orientation quality (KITTI AOS): catches a direction-head
+            # collapse that box-IoU AP alone can miss (docs/TECHNICAL.md
+            # yaw-symmetry finding)
+            "val_mAOS": round(res.get("mAOS", 0.0), 4),
             # per-bucket dicts carry AP_<cls> + "mAP"; keep the bucket mAPs
             "by_difficulty": {k: round(v["mAP"], 4)
                               for k, v in res.get("by_difficulty", {}).items()},
