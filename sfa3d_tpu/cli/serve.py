@@ -205,12 +205,6 @@ def main(argv=None):
     )
 
     if args.artifact:
-        if args.fused:
-            raise SystemExit(
-                "--artifact serves the LiDAR detector pipeline; fused "
-                "artifacts need per-request images+calib (use a checkpoint "
-                "with --fused)"
-            )
         # the artifact bakes in model/K/peak_thresh; flags that would pick
         # them are dead here — warn so operators aren't misled
         ignored = [(f, v) for f, v in [
@@ -228,12 +222,31 @@ def main(argv=None):
                 "change it)",
                 file=sys.stderr,
             )
-        from sfa3d_tpu.detector import ArtifactDetector
+        # dispatch on the artifact's kind: a detector artifact backs the
+        # LiDAR server, a fused artifact backs the camera-LiDAR server
+        # (requests then carry image+calib); --fused just cross-checks
+        from sfa3d_tpu.runtime.export import read_manifest
 
-        det = ArtifactDetector(args.artifact)
-        server = BatchingDetectorServer(
-            det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
-        )
+        kind = read_manifest(args.artifact).get("kind")
+        if kind == "fused":
+            from sfa3d_tpu.detector import ArtifactFusedDetector
+
+            server = BatchingFusedServer(
+                ArtifactFusedDetector(args.artifact),
+                max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+            )
+        else:
+            if args.fused:
+                raise SystemExit(
+                    f"--fused needs a fused artifact; {args.artifact} is "
+                    f"kind={kind!r} (export with `cli export --fused`)"
+                )
+            from sfa3d_tpu.detector import ArtifactDetector
+
+            det = ArtifactDetector(args.artifact)
+            server = BatchingDetectorServer(
+                det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
+            )
     elif args.fused:
         fd = FusedDetector(
             arch=args.arch, checkpoint=args.pretrained_path,

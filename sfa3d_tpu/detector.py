@@ -163,8 +163,9 @@ class ArtifactDetector:
             raise ValueError(
                 f"{path}: artifact kind {m.get('kind')!r} cannot back the "
                 "LiDAR detector server (need kind='detector'; fused "
-                "artifacts take images+calib per request — drive them with "
-                "`cli fuse --artifact`)"
+                "artifacts take images+calib per request — use "
+                "ArtifactFusedDetector / `cli serve --artifact` dispatches "
+                "on kind / `cli fuse --artifact`)"
             )
         self.K = m["K"]
         self.peak_thresh = m["peak_thresh"]
@@ -196,6 +197,68 @@ class ArtifactDetector:
     def detect_file(self, velodyne_bin: str) -> List[Dict]:
         points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)
         return self.detect(points)
+
+
+class ArtifactFusedDetector:
+    """FusedDetector facade over a FUSED AOT export (cli export --fused):
+    the same `_run` seam `BatchingFusedServer` drives, with weights, fusion
+    config, and camera/letterbox geometry baked into one StableHLO file.
+    The letterbox scale/pad are compile-time constants in the artifact, so
+    the per-request hw/scale/pad arguments are accepted-and-dropped; frames
+    must match the baked `img_hw` (validated at submit time)."""
+
+    def __init__(self, path: str):
+        from sfa3d_tpu.runtime.export import load_exported
+
+        self.artifact = load_exported(path)
+        m = self.artifact.manifest
+        if m.get("kind") != "fused":
+            raise ValueError(
+                f"{path}: artifact kind {m.get('kind')!r} cannot back the "
+                "fused pipeline (need kind='fused'; export with "
+                "`cli export --fused`)"
+            )
+        self.imgsz = m["letterbox"]
+        self.max_points = m["max_points"]
+        self.img_hw = tuple(m["img_hw"])
+        self.fixed_batch = m["batch"]  # None == symbolic
+        self.kvars = None  # weights live inside the artifact
+        self.yvars = None
+
+    def _run(self, kvars, yvars, pts, valid, img, V2C, R0, P2,
+             hw=None, scale=None, pad=None):
+        # hw/scale/pad are baked constants in the exported program
+        return self.artifact.call(pts, valid, img, V2C, R0, P2)
+
+    def detect(self, points: np.ndarray, image_rgb: np.ndarray, calib) -> Dict:
+        """One frame through the artifact (FusedDetector.detect parity)."""
+        from sfa3d_tpu.models.yolov8 import letterbox
+        from sfa3d_tpu.ops.bev import filter_and_pad_points
+
+        h, w = image_rgb.shape[:2]
+        if (h, w) != self.img_hw:
+            raise ValueError(
+                f"frame is {h}x{w} but the artifact bakes img_hw="
+                f"{list(self.img_hw)}; re-export for this camera"
+            )
+        pts, valid = filter_and_pad_points(points, max_points=self.max_points)
+        img, _, _ = letterbox(image_rgb, self.imgsz)
+        out = self._run(
+            None, None, pts[None], valid[None],
+            img[None].astype(np.float32),
+            np.asarray(calib.V2C, np.float32)[None],
+            np.asarray(calib.R0, np.float32)[None],
+            np.asarray(calib.P2, np.float32)[None],
+        )
+        v = np.asarray(out["valid"])[0]
+        m3 = np.asarray(out["mask_3d"])[0]
+        return {
+            "boxes": np.asarray(out["boxes"])[0][v].astype(int),
+            "scores": np.asarray(out["scores"])[0][v],
+            "classes": np.asarray(out["classes"])[0][v],
+            "source": np.asarray(out["source"])[0][v],
+            "boxes_3d": np.asarray(out["boxes_real"])[0][m3],
+        }
 
 
 class FusedDetector:

@@ -196,6 +196,19 @@ class LoadedArtifact:
         return self._jitted(*args)
 
 
+def read_manifest(path: str) -> dict:
+    """Parse just the manifest header (no StableHLO deserialization) —
+    for dispatching on `kind` before constructing the right facade."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != _MAGIC:
+            raise ValueError(
+                f"{path}: not a sfa3d_tpu export (magic {magic!r})"
+            )
+        (mlen,) = struct.unpack("<Q", f.read(8))
+        return json.loads(f.read(mlen).decode())
+
+
 def load_exported(path: str) -> LoadedArtifact:
     with open(path, "rb") as f:
         magic = f.read(8)

@@ -252,7 +252,9 @@ class BatchingFusedServer(BatchingDetectorServer):
     def __init__(self, fused_detector, max_batch: int = 8,
                  max_delay_ms: float = 5.0):
         self.fd = fused_detector
-        super().__init__(detector=None, max_batch=max_batch,
+        # point budget / fixed-batch discipline come from the fused
+        # detector: an ArtifactFusedDetector carries its export-time values
+        super().__init__(detector=fused_detector, max_batch=max_batch,
                          max_delay_ms=max_delay_ms)
 
     def submit(self, points):  # pragma: no cover - guard
@@ -270,7 +272,7 @@ class BatchingFusedServer(BatchingDetectorServer):
         from sfa3d_tpu import native
 
         res = native.read_velodyne_filtered(
-            velodyne_bin, cnf.MAX_POINTS_FILTERED, cnf.boundary
+            velodyne_bin, self._P, cnf.boundary
         )
         if res is None:
             points = np.fromfile(velodyne_bin, dtype=np.float32).reshape(-1, 4)
@@ -280,7 +282,7 @@ class BatchingFusedServer(BatchingDetectorServer):
     def _warm_bucket(self, bucket: int):
         import jax.numpy as jnp
 
-        P = cnf.MAX_POINTS_FILTERED
+        P = self._P
         S = self.fd.imgsz
         out = self.fd._run(
             self.fd.kvars, self.fd.yvars,
@@ -302,16 +304,22 @@ class BatchingFusedServer(BatchingDetectorServer):
         calibration -> Future of the FusedDetector.detect output dict."""
         from sfa3d_tpu.ops.bev import filter_and_pad_points
 
-        pts, valid = filter_and_pad_points(
-            points, max_points=cnf.MAX_POINTS_FILTERED
-        )
+        pts, valid = filter_and_pad_points(points, max_points=self._P)
         return self._enqueue_fused(pts, valid, image_rgb, calib)
 
     def _enqueue_fused(self, pts, valid, image_rgb, calib) -> Future:
         from sfa3d_tpu.models.yolov8 import letterbox
 
-        img, r, (pad_w, pad_h) = letterbox(image_rgb, self.fd.imgsz)
         h, w = image_rgb.shape[:2]
+        baked_hw = getattr(self.fd, "img_hw", None)
+        if baked_hw is not None and (h, w) != tuple(baked_hw):
+            # artifact-backed pipelines bake the letterbox geometry; a
+            # mismatched frame would be silently mis-projected
+            raise ValueError(
+                f"frame is {h}x{w} but the fused artifact bakes img_hw="
+                f"{list(baked_hw)}; re-export for this camera"
+            )
+        img, r, (pad_w, pad_h) = letterbox(image_rgb, self.fd.imgsz)
         req = dict(
             pts=pts, valid=valid, img=img,
             V2C=np.asarray(calib.V2C, np.float32),
@@ -331,7 +339,10 @@ class BatchingFusedServer(BatchingDetectorServer):
         import jax.numpy as jnp
 
         n = len(batch)
-        bucket = min(_next_pow2(n), self.max_batch)
+        if self._fixed_bucket is not None:
+            bucket = self._fixed_bucket  # pad up: the artifact's only size
+        else:
+            bucket = min(_next_pow2(n), self.max_batch)
         stack = lambda key: np.stack(
             [b[0][key] for b in batch]
             + [np.zeros_like(batch[0][0][key])] * (bucket - n)

@@ -248,6 +248,59 @@ def test_artifact_detector_rejects_fused_kind(det, tmp_path):
         ArtifactDetector(path)
 
 
+def test_artifact_fused_serving(tmp_path, det):
+    """The fused pipeline served from ONE artifact file: an
+    ArtifactFusedDetector behind BatchingFusedServer — weights, fusion
+    config, and camera geometry all baked; also exercises the fixed-batch
+    pad-up path and the baked-geometry frame validation."""
+    from sfa3d_tpu.detector import ArtifactFusedDetector
+    from sfa3d_tpu.geometry.calibration import KittiCalibration
+    from sfa3d_tpu.models.yolov8 import YOLOv8
+    from sfa3d_tpu.runtime.serving import BatchingFusedServer
+
+    model, variables = det
+    yolo = YOLOv8(scale="n")
+    yvars = yolo.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    exported, manifest = export_fused(
+        model, variables, yolo, yvars,
+        batch=1, max_points=MAXP, img_hw=(48, 64), letterbox=64,
+        K=10, max_yolo=10,
+    )
+    path = str(tmp_path / "served.sfa3dx")
+    save_exported(path, exported, manifest)
+
+    afd = ArtifactFusedDetector(path)
+    assert afd.imgsz == 64 and afd.img_hw == (48, 64)
+    assert afd.max_points == MAXP and afd.fixed_batch == 1
+
+    rng = np.random.default_rng(3)
+    points = np.stack([
+        rng.uniform(0, 40, 512), rng.uniform(-20, 20, 512),
+        rng.uniform(-1.5, 1.0, 512), rng.uniform(0, 1, 512),
+    ], axis=1).astype(np.float32)
+    image = rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+    calib = KittiCalibration(None)
+
+    # one-frame facade parity surface
+    single = afd.detect(points, image, calib)
+    assert set(single) >= {"boxes", "scores", "classes", "source", "boxes_3d"}
+
+    server = BatchingFusedServer(afd, max_batch=4, max_delay_ms=1.0)
+    try:
+        assert server.max_batch == 1  # clamped to the fixed-batch artifact
+        futs = [server.submit_fused(points, image, calib) for _ in range(2)]
+        for fut in futs:
+            res = fut.result(timeout=600)
+            assert set(res) >= {"boxes", "scores", "classes", "source"}
+            assert np.isfinite(res["scores"]).all()
+        # frames must match the baked letterbox geometry
+        with pytest.raises(ValueError, match="img_hw"):
+            server.submit_fused(points, np.zeros((50, 64, 3), np.uint8), calib)
+    finally:
+        server.stop()
+
+
 def test_enable_compilation_cache(tmp_path):
     # jax pins the persistent cache backend to the FIRST directory used
     # (module-level singleton) — conftest already enabled the suite-wide
