@@ -51,43 +51,21 @@ SOURCE_COLORS = {0: (0, 255, 255), 1: (255, 0, 0), 2: (0, 255, 0)}  # yolo/sfa/f
 SOURCE_NAMES = {0: "YOLOv8", 1: "SFA3D", 2: "Fused"}
 
 
-def _run_artifact_frame(artifact, sample, img_bgr, calib):
-    """One frame through a fused AOT export: repad the scan to the
-    artifact's point budget, letterbox the camera frame to its baked
-    geometry, call the serialized program, strip the validity masks."""
+def _run_artifact_frame(artifact_detector, sample, img_bgr, calib):
+    """One frame through a fused AOT export via the ArtifactFusedDetector
+    facade (scan repadded to the baked point budget, camera letterboxed to
+    the baked geometry); geometry mismatch becomes a clean CLI error."""
     import cv2
     import numpy as np
 
-    from sfa3d_tpu.models.yolov8 import letterbox
-    from sfa3d_tpu.ops.bev import filter_and_pad_points
-
-    m = artifact.manifest
-    h, w = img_bgr.shape[:2]
-    if [h, w] != list(m["img_hw"]):
-        raise SystemExit(
-            f"frame is {h}x{w} but the artifact bakes img_hw={m['img_hw']} "
-            "(letterbox geometry is a compile-time constant; re-export for "
-            "this camera)"
+    try:
+        return artifact_detector.detect(
+            sample.points[np.asarray(sample.valid)],
+            cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB),
+            calib,
         )
-    pts, valid = filter_and_pad_points(
-        sample.points[np.asarray(sample.valid)], max_points=m["max_points"]
-    )
-    lb, _, _ = letterbox(
-        cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB), m["letterbox"]
-    )
-    out = artifact.call(
-        pts[None], valid[None], lb[None].astype(np.float32),
-        np.asarray(calib.V2C, np.float32)[None],
-        np.asarray(calib.R0, np.float32)[None],
-        np.asarray(calib.P2, np.float32)[None],
-    )
-    v = np.asarray(out["valid"])[0]
-    return {
-        "boxes": np.asarray(out["boxes"])[0][v].astype(int),
-        "scores": np.asarray(out["scores"])[0][v],
-        "classes": np.asarray(out["classes"])[0][v],
-        "source": np.asarray(out["source"])[0][v],
-    }
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
 
 
 def main(argv=None):
@@ -111,18 +89,16 @@ def main(argv=None):
                 "fused artifact runs them as one program (drop --artifact "
                 "or --side_by_side)"
             )
-        from sfa3d_tpu.runtime.export import load_exported
+        from sfa3d_tpu.detector import ArtifactFusedDetector
 
-        artifact = load_exported(args.artifact)
-        if artifact.manifest.get("kind") != "fused":
-            raise SystemExit(
-                f"{args.artifact}: kind={artifact.manifest.get('kind')!r}; "
-                "the fuse CLI needs a FUSED export (cli export --fused)"
-            )
+        try:
+            artifact = ArtifactFusedDetector(args.artifact)
+        except ValueError as e:
+            raise SystemExit(str(e)) from e
         print(
             "fusion config comes baked from the artifact manifest "
-            f"({artifact.manifest.get('fused_kwargs')}); --mode/threshold "
-            "flags are ignored"
+            f"({artifact.artifact.manifest.get('fused_kwargs')}); "
+            "--mode/threshold flags are ignored"
         )
         model = variables = yolo = None
     else:
