@@ -133,6 +133,64 @@ def test_fused_server_matches_direct_detect(scans):
             np.testing.assert_array_equal(g["classes"], want["classes"])
 
 
+def test_serve_cli_artifact_kind_dispatch(tmp_path, monkeypatch, capsys, scans):
+    """serve --artifact dispatches on the artifact's manifest kind: a fused
+    artifact backs the camera-LiDAR server over the same stdio wire
+    protocol (weights + fusion config + geometry all from one file), and a
+    detector artifact combined with --fused is an explicit refusal."""
+    import io
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.cli.serve import main as serve_main
+    from sfa3d_tpu.models import create_model
+    from sfa3d_tpu.models.yolov8 import YOLOv8
+    from sfa3d_tpu.pipeline import init_detector
+    from sfa3d_tpu.runtime.export import (
+        export_detector,
+        export_fused,
+        save_exported,
+    )
+
+    model = create_model("fpn_resnet_18")
+    kvars = init_detector(model, jax.random.PRNGKey(0))
+    exported, manifest = export_detector(
+        model, kvars, K=10, peak_thresh=0.0, max_points=2048, batch=1
+    )
+    det_path = str(tmp_path / "det.sfa3dx")
+    save_exported(det_path, exported, manifest)
+    with pytest.raises(SystemExit, match="fused"):
+        serve_main(["--artifact", det_path, "--fused"])
+
+    yolo = YOLOv8(scale="n")
+    yvars = yolo.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    exported, manifest = export_fused(
+        model, kvars, yolo, yvars, batch=1, max_points=2048,
+        img_hw=(48, 64), letterbox=64, K=10, max_yolo=10,
+    )
+    fused_path = str(tmp_path / "fused.sfa3dx")
+    save_exported(fused_path, exported, manifest)
+
+    scans[0].astype(np.float32).tofile(tmp_path / "scan.bin")
+    cv2.imwrite(
+        str(tmp_path / "frame.png"),
+        np.random.default_rng(1).integers(0, 255, (48, 64, 3)).astype(np.uint8),
+    )
+    req = json.dumps({
+        "id": "z", "lidar": str(tmp_path / "scan.bin"),
+        "image": str(tmp_path / "frame.png"),
+    }) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(req))
+    serve_main(["--artifact", fused_path])
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    reply = json.loads(out_lines[-1])
+    assert reply["id"] == "z" and "fused" in reply and "boxes_3d" in reply
+    assert set(reply["fused"]) == {"boxes", "scores", "classes", "source"}
+
+
 def test_tcp_fused_protocol(tmp_path, scans):
     """cli serve --fused: lidar+image+calib request -> fused wire format."""
     import cv2
