@@ -254,10 +254,13 @@ def maybe_val_ap(configs, ckpt_path, epoch, logger, tb_writer):
                  if k.startswith("AP_") and not isinstance(v, dict)}
     logger.info(
         f"val AP (epoch {epoch}): mAP {res['mAP']:.4f} "
+        f"mAOS {res.get('mAOS', 0.0):.4f} "
         + " ".join(f"{k} {v:.4f}" for k, v in sorted(per_class.items()))
     )
     if tb_writer is not None:
         tb_writer.add_scalar("Val_mAP", res["mAP"], epoch)
+        if "mAOS" in res:
+            tb_writer.add_scalar("Val_mAOS", res["mAOS"], epoch)
         tb_writer.add_scalars("Val_AP", per_class, epoch)
     return res
 
