@@ -246,6 +246,10 @@ def main():
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stem reformulation (exactly "
                          "weight-transformable; models.kfpn.convert_variables_to_s2d)")
+    ap.add_argument("--fused_heads", action="store_true",
+                    help="run each pyramid level's 5 head towers as ONE wide "
+                         "conv pair (exactly weight-transformable; "
+                         "models.kfpn.fuse_head_params; bit-exact)")
     ap.add_argument("--train_batch", type=int, default=16)
     ap.add_argument("--subdivisions", type=int, default=4)
     ap.add_argument("--train_iters", type=int, default=10)
@@ -281,7 +285,8 @@ def main():
     # configuration. (JAX's default TPU matmul precision runs f32 convs as
     # bf16 multiplies with f32 accumulation, so f32 costs only ~3% vs the
     # explicit-bf16 fast mode: 684 vs 706 fps measured.)
-    kfpn = create_model("fpn_resnet_18", s2d_stem=args.s2d)
+    kfpn = create_model("fpn_resnet_18", s2d_stem=args.s2d,
+                        fused_heads=args.fused_heads)
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
     yolo = YOLOv8(scale="n")
     yvars = yolo.init(

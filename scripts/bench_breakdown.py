@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     ap.add_argument("--s2d", action="store_true",
                     help="space-to-depth stem reformulation")
+    ap.add_argument("--fused_heads", action="store_true",
+                    help="fused head towers (one wide conv pair per level; "
+                         "exactly weight-transformable, bit-exact)")
     ap.add_argument("--mfu", action="store_true",
                     help="XLA-counted FLOPs + achieved TFLOP/s per stage")
     args = ap.parse_args()
@@ -62,7 +65,8 @@ def main():
 
     b = args.batch
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    kfpn = create_model("fpn_resnet_18", dtype=dt, s2d_stem=args.s2d)
+    kfpn = create_model("fpn_resnet_18", dtype=dt, s2d_stem=args.s2d,
+                        fused_heads=args.fused_heads)
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
     yolo = YOLOv8(scale="n", dtype=dt)
     yvars = yolo.init(jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3)), train=False)

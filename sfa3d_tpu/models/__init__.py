@@ -10,12 +10,16 @@ import jax.numpy as jnp
 
 
 def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.float32,
-                 s2d_stem: bool = False):
+                 s2d_stem: bool = False, fused_heads: bool = False):
     """Arch string -> flax module (model_utils.py:25-43 dispatch).
 
     `s2d_stem=True` uses the space-to-depth stem reformulation (exactly
     weight-transformable from standard checkpoints via
-    kfpn.convert_variables_to_s2d)."""
+    kfpn.convert_variables_to_s2d). `fused_heads=True` runs the 5 per-head
+    towers of each pyramid level as ONE wide conv pair (exactly
+    weight-transformable via kfpn.fuse_head_params; bit-exact on TPU,
+    ~1e-10 conv-tiling reassociation on CPU —
+    tests/test_model.py::test_fused_heads_bit_exact)."""
     from sfa3d_tpu.models.kfpn import KFPN
     from sfa3d_tpu.models.centernet_deconv import DeconvCenterNet
 
@@ -23,12 +27,12 @@ def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.flo
     num_layers = int(parts[-1])
     if arch.startswith("fpn_resnet"):
         return KFPN(num_layers=num_layers, head_conv=head_conv, dtype=dtype,
-                    s2d_stem=s2d_stem)
+                    s2d_stem=s2d_stem, fused_heads=fused_heads)
     if arch.startswith("resnet"):
-        if s2d_stem:
+        if s2d_stem or fused_heads:
             raise ValueError(
-                "s2d_stem is only implemented for fpn_resnet_* archs; "
-                f"got arch={arch!r}"
+                "s2d_stem/fused_heads are only implemented for fpn_resnet_* "
+                f"archs; got arch={arch!r}"
             )
         return DeconvCenterNet(num_layers=num_layers, head_conv=head_conv, dtype=dtype)
     raise ValueError(f"unknown arch: {arch}")
