@@ -7,6 +7,7 @@ COMMANDS = {
     "train": ("sfa3d_tpu.cli.train", "KITTI training over the device mesh"),
     "test": ("sfa3d_tpu.cli.test", "inference + visualization on the test split"),
     "demo": ("sfa3d_tpu.cli.demo", "raw-drive video demo (front / two-sides)"),
+    "track": ("sfa3d_tpu.cli.track", "3D multi-object tracking over a raw drive"),
     "fuse": ("sfa3d_tpu.cli.fuse", "camera-LiDAR fusion (nms/weighted/bayesian)"),
     "eval": ("sfa3d_tpu.cli.eval", "KITTI 3D/BEV AP evaluation on the val split"),
     "serve": ("sfa3d_tpu.cli.serve", "batched JSON detection server (stdio/TCP)"),

@@ -131,3 +131,32 @@ def test_demo_cli_two_sides_end_to_end(tmp_path):
         cap.release()
     assert n == 2, f"expected one video frame per drive scan, got {n}"
     assert ok and frame is not None and frame.any(), "first frame unreadable/black"
+
+
+def test_track_cli_end_to_end(tmp_path):
+    """3D MOT demo (beyond-reference, sfa3d_tpu/tracking/): detector ->
+    fixed-slot Kalman tracker -> id-annotated BEV video. peak_thresh 0
+    floods the tracker with all 50 random-weight detections per frame, so
+    association/birth/death all run."""
+    from sfa3d_tpu.cli.track import main as track_main
+    from sfa3d_tpu.data.synthetic import write_mini_drive
+
+    drive = write_mini_drive(str(tmp_path / "drive"), n_frames=2)
+    out = str(tmp_path / "results")
+    track_main([
+        "--drive_dir", drive,
+        "--output_dir", out,
+        "--peak_thresh", "0.0",
+        "--min_hits", "1",
+        "--show_coasting",
+    ])
+    avi = os.path.join(out, "track_fpn_resnet_18.avi")
+    assert os.path.isfile(avi)
+    cap = cv2.VideoCapture(avi)
+    try:
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        ok, frame = cap.read()
+    finally:
+        cap.release()
+    assert n == 2, f"expected one video frame per drive scan, got {n}"
+    assert ok and frame is not None and frame.any(), "first frame unreadable/black"

@@ -1,0 +1,181 @@
+"""3D multi-object tracker (sfa3d_tpu/tracking/) — beyond-reference.
+
+Synthetic linear-motion scenes: identities must stay stable across frames,
+velocities must converge to the true motion, unmatched tracks must die
+after max_age misses, pi-flipped yaw readings must not drag the track's
+heading, and a whole sequence must run as ONE lax.scan program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sfa3d_tpu.tracking import init_tracks, track_sequence, tracker_step
+
+K = 16  # detection slots per frame
+
+
+def make_frame(objs):
+    """objs: list of (x, y, z, h, w, l, yaw, cls, score) tuples ->
+    (boxes (K, 8), scores (K,), valid (K,))."""
+    boxes = np.zeros((K, 8), np.float32)
+    scores = np.zeros((K,), np.float32)
+    valid = np.zeros((K,), bool)
+    for i, (x, y, z, h, w, l, yaw, cls, score) in enumerate(objs):
+        boxes[i] = [cls, x, y, z, h, w, l, yaw]
+        scores[i] = score
+        valid[i] = True
+    return jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid)
+
+
+def linear_scene(n_frames, speed=(1.0, 0.2), start=(10.0, 0.0), noise=0.0,
+                 seed=0, drop_frames=(), yaw=0.3, cls=0):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for f in range(n_frames):
+        if f in drop_frames:
+            frames.append(make_frame([]))
+            continue
+        x = start[0] + speed[0] * f + rng.normal(0, noise)
+        y = start[1] + speed[1] * f + rng.normal(0, noise)
+        frames.append(
+            make_frame([(x, y, -1.0, 1.6, 1.8, 4.2, yaw, cls, 0.9)])
+        )
+    return frames
+
+
+def run(frames, **kw):
+    state = init_tracks(32)
+    outs = []
+    for b, s, v in frames:
+        state, out = tracker_step(state, b, s, v, **kw)
+        outs.append({k: np.asarray(o) for k, o in out.items()})
+    return state, outs
+
+
+def test_single_track_stable_identity_and_velocity():
+    frames = linear_scene(12)
+    state, outs = run(frames)
+    ids = [o["ids"][o["alive"]] for o in outs]
+    assert all(len(i) == 1 for i in ids)
+    assert all(int(i[0]) == 0 for i in ids), "one object -> one stable id"
+    # constant-velocity KF must converge to the true (1.0, 0.2) m/frame
+    vel = outs[-1]["velocities"][outs[-1]["alive"]][0]
+    np.testing.assert_allclose(vel[:2], [1.0, 0.2], atol=0.05)
+    # smoothed box tracks the true trajectory
+    box = outs[-1]["boxes"][outs[-1]["alive"]][0]
+    np.testing.assert_allclose(box[1], 10.0 + 11.0, atol=0.2)
+
+
+def test_confirmation_after_min_hits():
+    frames = linear_scene(4)
+    _, outs = run(frames, min_hits=3)
+    confirmed = [int(o["confirmed"].sum()) for o in outs]
+    assert confirmed == [0, 0, 1, 1], "confirm only after 3 matches"
+
+
+def test_death_after_max_age_misses():
+    # object present 5 frames, then gone for good
+    frames = linear_scene(10, drop_frames=range(5, 10))
+    _, outs = run(frames, max_age=3)
+    alive = [int(o["alive"].sum()) for o in outs]
+    # survives 2 coasting frames (misses 1, 2), dies when misses hits 3
+    assert alive == [1] * 7 + [0] * 3
+
+
+def test_track_survives_short_occlusion_same_id():
+    frames = linear_scene(9, drop_frames=(4,))
+    _, outs = run(frames, max_age=3)
+    ids = [o["ids"][o["alive"]] for o in outs]
+    assert all(len(i) == 1 and int(i[0]) == 0 for i in ids), (
+        "one dropped frame must coast, not re-identify"
+    )
+
+
+def test_two_objects_no_identity_swap():
+    # two cars converging then passing — greedy IoU on predicted boxes
+    # must keep them apart (they never overlap)
+    frames = []
+    for f in range(10):
+        frames.append(make_frame([
+            (5.0 + 1.0 * f, -6.0, -1.0, 1.6, 1.8, 4.2, 0.0, 0, 0.9),
+            (25.0 - 1.0 * f, 6.0, -1.0, 1.6, 1.8, 4.2, 0.0, 0, 0.8),
+        ]))
+    _, outs = run(frames)
+    last = outs[-1]
+    a = last["alive"]
+    assert int(a.sum()) == 2
+    by_id = {int(i): b for i, b in zip(last["ids"][a], last["boxes"][a])}
+    np.testing.assert_allclose(by_id[0][1], 14.0, atol=0.3)  # started at 5
+    np.testing.assert_allclose(by_id[1][1], 16.0, atol=0.3)  # started at 25
+
+
+def test_class_gating_blocks_cross_class_match():
+    # same spot, class flips -> the tracker must NOT update the class-0
+    # track with a class-1 detection; it births a new track instead
+    f0 = make_frame([(10.0, 0.0, -1.0, 1.6, 1.8, 4.2, 0.0, 0, 0.9)])
+    f1 = make_frame([(10.0, 0.0, -1.0, 1.6, 1.8, 4.2, 0.0, 1, 0.9)])
+    state = init_tracks(32)
+    state, _ = tracker_step(state, *f0)
+    state, out = tracker_step(state, *f1)
+    alive = np.asarray(out["alive"])
+    ids = np.asarray(out["ids"])[alive]
+    assert set(ids.tolist()) == {0, 1}, "cross-class match must be a birth"
+
+
+def test_orientation_correction_pi_flip():
+    # detector alternates the reported facing by pi (BEV-symmetric box);
+    # the track's yaw must stay near the true 0.3, never near pi
+    frames = []
+    for f in range(8):
+        yaw = 0.3 if f % 2 == 0 else 0.3 - np.pi
+        frames.append(
+            make_frame([(10.0 + f, 0.0, -1.0, 1.6, 1.8, 4.2, yaw, 0, 0.9)])
+        )
+    _, outs = run(frames)
+    for o in outs:
+        trk_yaw = o["boxes"][o["alive"]][0][7]
+        d = abs((trk_yaw - 0.3 + np.pi) % (2 * np.pi) - np.pi)
+        d = min(d, abs(np.pi - d))  # pi-symmetric distance
+        assert d < 0.2, f"yaw dragged to {trk_yaw}"
+
+
+def test_birth_capacity_drops_extras_without_error():
+    objs = [
+        (5.0 + 6.0 * i, -20.0 + 5.0 * i, -1.0, 1.6, 1.8, 4.2, 0.0, 0, 0.9)
+        for i in range(6)
+    ]
+    b, s, v = make_frame(objs)
+    state = init_tracks(4)  # fewer slots than detections
+    state, out = tracker_step(state, b, s, v)
+    assert int(np.asarray(out["alive"]).sum()) == 4
+    assert int(state.next_id) == 4, "only placed births consume ids"
+
+
+def test_track_sequence_one_scan_matches_step_loop():
+    frames = linear_scene(8, noise=0.05)
+    boxes = jnp.stack([f[0] for f in frames])
+    scores = jnp.stack([f[1] for f in frames])
+    valid = jnp.stack([f[2] for f in frames])
+    outs_scan = jax.jit(
+        lambda b, s, v: track_sequence(b, s, v, max_tracks=32)
+    )(boxes, scores, valid)
+    _, outs_loop = run(frames)
+    for f in range(8):
+        np.testing.assert_allclose(
+            np.asarray(outs_scan["boxes"][f]), outs_loop[f]["boxes"],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs_scan["ids"][f]), outs_loop[f]["ids"]
+        )
+
+
+def test_empty_frames_are_a_noop():
+    state = init_tracks(8)
+    b, s, v = make_frame([])
+    for _ in range(3):
+        state, out = tracker_step(state, b, s, v)
+    assert int(np.asarray(out["alive"]).sum()) == 0
+    assert int(state.next_id) == 0
