@@ -17,6 +17,43 @@ import numpy as np
 from sfa3d_tpu.config import kitti as cnf
 
 
+def _box_surface_points(rng, h, w, l, x, y, z, yaw, m):
+    """Surface-ish samples of one box in the velodyne frame, (m, 4) f32.
+    MUST keep the exact rng call sequence of the original inline code —
+    synthetic_scene's fixtures are pinned byte-for-byte by seeds recorded
+    in parity/bench artifacts."""
+    local = np.empty((m, 3), np.float32)
+    local[:, 0] = rng.uniform(-l / 2, l / 2, m)
+    local[:, 1] = rng.uniform(-w / 2, w / 2, m)
+    local[:, 2] = rng.uniform(0, h, m)
+    face = rng.integers(0, 3, m)
+    local[face == 0, 0] = np.sign(local[face == 0, 0]) * l / 2
+    local[face == 1, 1] = np.sign(local[face == 1, 1]) * w / 2
+    local[face == 2, 2] = h * (local[face == 2, 2] > h / 2)
+    # ~2 cm z noise (Velodyne-class range accuracy): real sensors never
+    # emit bit-identical heights; the exact-duplicate z values the
+    # face-pinning creates would otherwise make raster tie-breaking
+    # (reference: exact-max-z point; ours: max intensity within the
+    # 0.5 mm quantization bucket) visible on hundreds of pixels per frame
+    local[:, 2] += rng.uniform(-0.02, 0.02, m)
+    c, s = np.cos(yaw), np.sin(yaw)
+    pts = np.empty((m, 4), np.float32)
+    pts[:, 0] = c * local[:, 0] - s * local[:, 1] + x
+    pts[:, 1] = s * local[:, 0] + c * local[:, 1] + y
+    pts[:, 2] = local[:, 2] + z
+    # Front/back asymmetry (like real vehicles): intensity rises toward
+    # the local +x (front) face. Without it a box's point cloud is
+    # IDENTICAL under yaw -> yaw+pi, the (sin, cos) direction targets
+    # for visually-equal scenes contradict each other, and a trained
+    # direction head collapses to ~0 (= random yaw; found by the round-3
+    # generalization run: centers/dims/class learned, yaw uniform).
+    frontness = local[:, 0] / l + 0.5  # 0 at rear face, 1 at front
+    pts[:, 3] = np.clip(
+        rng.uniform(0.15, 0.35, m) + 0.55 * frontness, 0.0, 1.0
+    )
+    return pts
+
+
 def synthetic_scene(
     seed: int = 0,
     n_ground: int = 20000,
@@ -62,38 +99,9 @@ def synthetic_scene(
         y = rng.uniform(-20, 20)
         z = -1.73
         yaw = rng.uniform(-np.pi, np.pi)
-        # surface-ish samples of the box in its local frame
-        m = points_per_object
-        local = np.empty((m, 3), np.float32)
-        local[:, 0] = rng.uniform(-l / 2, l / 2, m)
-        local[:, 1] = rng.uniform(-w / 2, w / 2, m)
-        local[:, 2] = rng.uniform(0, h, m)
-        face = rng.integers(0, 3, m)
-        local[face == 0, 0] = np.sign(local[face == 0, 0]) * l / 2
-        local[face == 1, 1] = np.sign(local[face == 1, 1]) * w / 2
-        local[face == 2, 2] = h * (local[face == 2, 2] > h / 2)
-        # ~2 cm z noise (Velodyne-class range accuracy): real sensors never
-        # emit bit-identical heights; the exact-duplicate z values the
-        # face-pinning creates would otherwise make raster tie-breaking
-        # (reference: exact-max-z point; ours: max intensity within the
-        # 0.5 mm quantization bucket) visible on hundreds of pixels per frame
-        local[:, 2] += rng.uniform(-0.02, 0.02, m)
-        c, s = np.cos(yaw), np.sin(yaw)
-        pts = np.empty((m, 4), np.float32)
-        pts[:, 0] = c * local[:, 0] - s * local[:, 1] + x
-        pts[:, 1] = s * local[:, 0] + c * local[:, 1] + y
-        pts[:, 2] = local[:, 2] + z
-        # Front/back asymmetry (like real vehicles): intensity rises toward
-        # the local +x (front) face. Without it a box's point cloud is
-        # IDENTICAL under yaw -> yaw+pi, the (sin, cos) direction targets
-        # for visually-equal scenes contradict each other, and a trained
-        # direction head collapses to ~0 (= random yaw; found by the round-3
-        # generalization run: centers/dims/class learned, yaw uniform).
-        frontness = local[:, 0] / l + 0.5  # 0 at rear face, 1 at front
-        pts[:, 3] = np.clip(
-            rng.uniform(0.15, 0.35, m) + 0.55 * frontness, 0.0, 1.0
+        obj_points.append(
+            _box_surface_points(rng, h, w, l, x, y, z, yaw, points_per_object)
         )
-        obj_points.append(pts)
         # label yaw convention: build_targets negates (kitti_dataset.py:181),
         # so store -yaw to make the heatmap target yaw equal `yaw`.
         labels.append([cls, x, y, z, h, w, l, -yaw])
@@ -241,14 +249,100 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
     return root
 
 
+def moving_scene_sequence(
+    n_frames: int,
+    seed: int = 0,
+    n_objects: int = 6,
+    points_per_object: int = 800,
+    n_ground: int = 20000,
+    n_clutter: int = 6000,
+):
+    """A temporally-consistent drive: the SAME objects move with constant
+    per-object velocities across frames (0.2-1.2 m/frame, boxes facing
+    their motion), ground/clutter resampled per frame like a real sensor.
+
+    Feeds the 3D MOT layer (sfa3d_tpu/tracking/): identities are only
+    testable on scenes where frame t+1 is frame t moved, which
+    synthetic_scene (independent draws) cannot provide.
+
+    Returns a list of (points (N,4), labels (M,8), gt_ids (M,)) per frame;
+    labels use the synthetic_scene convention (stored yaw = -geometric
+    yaw, matching detections_to_real output and build_targets input).
+    Objects sign-reverse their velocity when they would leave the BEV
+    x in (6, 44) / y in (-19, 19) core, so every ground-truth id is
+    observable in every frame.
+    """
+    rng = np.random.default_rng(seed)
+    dims_by_class = {
+        0: (1.76, 0.66, 0.84),
+        1: (1.52, 1.63, 3.88),
+        2: (1.73, 0.60, 1.76),
+    }
+    objs = []
+    for oid in range(n_objects):
+        cls = int(rng.integers(0, 3))
+        h, w, l = dims_by_class[cls]
+        h *= rng.uniform(0.9, 1.1)
+        w *= rng.uniform(0.9, 1.1)
+        l *= rng.uniform(0.9, 1.1)
+        x, y = rng.uniform(10, 40), rng.uniform(-15, 15)
+        theta = rng.uniform(-np.pi, np.pi)
+        speed = rng.uniform(0.2, 1.2)
+        objs.append(dict(oid=oid, cls=cls, h=h, w=w, l=l, x=x, y=y,
+                         vx=speed * np.cos(theta), vy=speed * np.sin(theta)))
+
+    frames = []
+    for _t in range(n_frames):
+        ground = np.empty((n_ground, 4), np.float32)
+        r = np.sqrt(rng.uniform(0.02, 1.0, n_ground))
+        th = rng.uniform(-np.pi, np.pi, n_ground)
+        ground[:, 0] = r * 60.0 * np.abs(np.cos(th))
+        ground[:, 1] = r * 40.0 * np.sin(th)
+        ground[:, 2] = rng.normal(-1.73, 0.05, n_ground)
+        ground[:, 3] = rng.uniform(0.0, 0.4, n_ground)
+        clutter = np.empty((n_clutter, 4), np.float32)
+        clutter[:, 0] = rng.uniform(-10, 60, n_clutter)
+        clutter[:, 1] = rng.uniform(-30, 30, n_clutter)
+        clutter[:, 2] = rng.uniform(-1.7, 1.2, n_clutter)
+        clutter[:, 3] = rng.uniform(0, 1, n_clutter)
+
+        pts, labels, ids = [ground, clutter], [], []
+        for o in objs:
+            yaw = np.arctan2(o["vy"], o["vx"])  # face the motion
+            pts.append(_box_surface_points(
+                rng, o["h"], o["w"], o["l"], o["x"], o["y"], -1.73, yaw,
+                points_per_object,
+            ))
+            labels.append([o["cls"], o["x"], o["y"], -1.73,
+                           o["h"], o["w"], o["l"], -yaw])
+            ids.append(o["oid"])
+            # advance; bounce off the observable-core walls so the object
+            # stays detectable in every frame
+            o["x"] += o["vx"]
+            o["y"] += o["vy"]
+            if not (6.0 < o["x"] < 44.0):
+                o["vx"] *= -1.0
+                o["x"] += 2.0 * o["vx"]
+            if not (-19.0 < o["y"] < 19.0):
+                o["vy"] *= -1.0
+                o["y"] += 2.0 * o["vy"]
+        points = np.concatenate(pts).astype(np.float32)
+        rng.shuffle(points, axis=0)
+        frames.append((points, np.asarray(labels, np.float32),
+                       np.asarray(ids, np.int32)))
+    return frames
+
+
 def write_mini_drive(root: str, n_frames: int = 2, seed: int = 0,
-                     cameras: bool = True) -> str:
+                     cameras: bool = True, motion: bool = False) -> str:
     """Materialize a tiny KITTI raw-drive layout (image_02/data +
     velodyne_points/data with 10-digit ids — the demo_dataset.py:32-99
     shape) from synthetic scenes, so the video-demo CLI runs without the
     raw-drive download. Each scan is a front scene plus an x-mirrored rear
     scene, giving `demo --two_sides` real content in BOTH detection
-    windows."""
+    windows. `motion=True` swaps the independent front scenes for a
+    moving_scene_sequence (same objects, constant velocities) so the
+    `track` CLI has identities to follow."""
     import os
 
     os.makedirs(os.path.join(root, "image_02", "data"), exist_ok=True)
@@ -260,8 +354,12 @@ def write_mini_drive(root: str, n_frames: int = 2, seed: int = 0,
     if not cameras:
         cv2 = None
     P2 = np.asarray(cnf.P2[:3], np.float64).reshape(3, 4)
+    moving = moving_scene_sequence(n_frames, seed=seed) if motion else None
     for i in range(n_frames):
-        front, labels = synthetic_scene(seed=seed + i)
+        if moving is not None:
+            front, labels, _ids = moving[i]
+        else:
+            front, labels = synthetic_scene(seed=seed + i)
         back, _ = synthetic_scene(seed=seed + i + 500)
         back = back.copy()
         back[:, 0] *= -1.0  # mirror into the rear window (boundary_back)

@@ -141,7 +141,7 @@ def test_track_cli_end_to_end(tmp_path):
     from sfa3d_tpu.cli.track import main as track_main
     from sfa3d_tpu.data.synthetic import write_mini_drive
 
-    drive = write_mini_drive(str(tmp_path / "drive"), n_frames=2)
+    drive = write_mini_drive(str(tmp_path / "drive"), n_frames=2, motion=True)
     out = str(tmp_path / "results")
     track_main([
         "--drive_dir", drive,

@@ -179,3 +179,52 @@ def test_empty_frames_are_a_noop():
         state, out = tracker_step(state, b, s, v)
     assert int(np.asarray(out["alive"]).sum()) == 0
     assert int(state.next_id) == 0
+
+
+def test_moving_scene_gt_detections_keep_identities():
+    """Integration with the moving-scene fixture generator
+    (data/synthetic.moving_scene_sequence): the SAME physical objects move
+    with constant velocities across frames; feeding their ground-truth
+    boxes as detections must yield one stable track id per object for the
+    whole sequence, with no swaps and no spurious births after frame 0.
+    Label rows are already in the tracker's (cls,x,y,z,h,w,l,yaw) layout
+    (detections_to_real convention)."""
+    from sfa3d_tpu.data.synthetic import moving_scene_sequence
+
+    F, n_obj = 10, 6
+    frames = moving_scene_sequence(F, seed=11, n_objects=n_obj,
+                                   points_per_object=8, n_ground=8,
+                                   n_clutter=8)
+    boxes = np.zeros((F, K, 8), np.float32)
+    scores = np.zeros((F, K), np.float32)
+    valid = np.zeros((F, K), bool)
+    for f, (_pts, labels, gt_ids) in enumerate(frames):
+        assert list(gt_ids) == list(range(n_obj))  # row index == object id
+        # shuffle rows per frame so identity can't come from slot order
+        perm = np.random.default_rng(f).permutation(n_obj)
+        boxes[f, :n_obj] = labels[perm]
+        scores[f, :n_obj] = 0.9
+        valid[f, :n_obj] = True
+        frames[f] = (perm,)  # remember for id bookkeeping
+    outs = jax.jit(
+        lambda b, s, v: track_sequence(b, s, v, max_tracks=32, min_hits=1)
+    )(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+
+    # map emitted track ids back to ground-truth object ids per frame:
+    # match each alive track box to the closest GT center that frame
+    id_by_obj = [set() for _ in range(n_obj)]
+    for f in range(F):
+        alive = np.asarray(outs["alive"][f])
+        tb = np.asarray(outs["boxes"][f])[alive]
+        tid = np.asarray(outs["ids"][f])[alive]
+        assert alive.sum() == n_obj, f"frame {f}: {alive.sum()} tracks"
+        (perm,) = frames[f]
+        gt = boxes[f, :n_obj]  # rows are labels[perm]
+        for b, i in zip(tb, tid):
+            d = np.linalg.norm(gt[:, 1:3] - b[1:3], axis=1)
+            obj = int(perm[int(np.argmin(d))])
+            assert d.min() < 1.0, f"frame {f}: track {i} far from any GT"
+            id_by_obj[obj].add(int(i))
+    for obj, ids in enumerate(id_by_obj):
+        assert len(ids) == 1, f"object {obj} changed track id: {ids}"
+    assert len({next(iter(s)) for s in id_by_obj}) == n_obj  # no merges
