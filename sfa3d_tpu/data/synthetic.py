@@ -278,6 +278,11 @@ def moving_scene_sequence(
         1: (1.52, 1.63, 3.88),
         2: (1.73, 0.60, 1.76),
     }
+    # per-frame (=0.1 s at KITTI's 10 Hz) speed ranges by class: walking
+    # pedestrians, urban cars, cyclists. Also what IoU-gated association
+    # needs: inter-frame displacement must not exceed the box footprint
+    # (a pedestrian teleporting 1.2 m/frame has zero self-overlap).
+    speed_by_class = {0: (0.05, 0.15), 1: (0.3, 1.2), 2: (0.2, 0.6)}
     objs = []
     for oid in range(n_objects):
         cls = int(rng.integers(0, 3))
@@ -287,7 +292,7 @@ def moving_scene_sequence(
         l *= rng.uniform(0.9, 1.1)
         x, y = rng.uniform(10, 40), rng.uniform(-15, 15)
         theta = rng.uniform(-np.pi, np.pi)
-        speed = rng.uniform(0.2, 1.2)
+        speed = rng.uniform(*speed_by_class[cls])
         objs.append(dict(oid=oid, cls=cls, h=h, w=w, l=l, x=x, y=y,
                          vx=speed * np.cos(theta), vy=speed * np.sin(theta)))
 

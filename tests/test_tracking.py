@@ -228,3 +228,121 @@ def test_moving_scene_gt_detections_keep_identities():
     for obj, ids in enumerate(id_by_obj):
         assert len(ids) == 1, f"object {obj} changed track id: {ids}"
     assert len({next(iter(s)) for s in id_by_obj}) == n_obj  # no merges
+
+
+# ---------------------------------------------------------------------------
+# CLEAR-MOT / IDF1 metrics (tracking/metrics.py)
+# ---------------------------------------------------------------------------
+
+def _f(ids, xys):
+    return (np.asarray(ids, np.int64),
+            np.asarray(xys, np.float64).reshape(len(ids), 2))
+
+
+def test_clear_mot_perfect_tracking():
+    from sfa3d_tpu.tracking.metrics import clear_mot
+    gt = [_f([0, 1], [(0, 0), (10, 0)]), _f([0, 1], [(1, 0), (11, 0)])]
+    m = clear_mot(gt, gt)
+    assert m["mota"] == 1.0 and m["idf1"] == 1.0
+    assert m["id_switches"] == 0 and m["motp"] == 0.0
+    assert m["mostly_tracked"] == 2 and m["mostly_lost"] == 0
+
+
+def test_clear_mot_counts_fp_fn_and_rates():
+    from sfa3d_tpu.tracking.metrics import clear_mot
+    gt = [_f([0], [(0, 0)]), _f([0], [(1, 0)]), _f([0], [(2, 0)])]
+    pred = [
+        _f([7], [(0.1, 0)]),            # match
+        _f([], []),                      # miss -> FN
+        _f([7, 8], [(2.1, 0), (50, 0)]),  # match + far FP
+    ]
+    m = clear_mot(gt, pred)
+    assert m["misses"] == 1 and m["false_positives"] == 1
+    assert m["id_switches"] == 0
+    assert m["mota"] == pytest.approx(1.0 - 2 / 3)
+
+
+def test_clear_mot_id_switch_detected():
+    from sfa3d_tpu.tracking.metrics import clear_mot
+    gt = [_f([0], [(0, 0)])] * 4
+    pred = [_f([1], [(0, 0)])] * 2 + [_f([2], [(0, 0)])] * 2
+    m = clear_mot(gt, pred)
+    assert m["id_switches"] == 1
+    assert m["mota"] == pytest.approx(1.0 - 1 / 4)
+    # identity metrics: best global map covers only 2 of 4 frames
+    assert m["idf1"] == pytest.approx(2 * 2 / (4 + 4))
+
+
+def test_clear_mot_sticky_match_beats_closer_thief():
+    """A GT keeps its existing track while within the gate even if another
+    track is momentarily closer — the CLEAR rule that keeps jitter from
+    manufacturing ID switches."""
+    from sfa3d_tpu.tracking.metrics import clear_mot
+    gt = [_f([0], [(0, 0)]), _f([0], [(0, 0)])]
+    pred = [
+        _f([1], [(0.5, 0)]),
+        _f([1, 2], [(0.6, 0), (0.1, 0)]),  # 2 is closer, 1 still gated
+    ]
+    m = clear_mot(gt, pred)
+    assert m["id_switches"] == 0
+    assert m["false_positives"] == 1  # track 2 goes unmatched
+
+
+def test_clear_mot_crossing_objects_no_idsw_for_consistent_tracker():
+    from sfa3d_tpu.tracking.metrics import clear_mot
+    # two objects swap positions over 5 frames; tracker keeps identities
+    gt, pred = [], []
+    for t in range(5):
+        a, b = (float(t), 0.0), (4.0 - t, 0.0)
+        gt.append(_f([0, 1], [a, b]))
+        pred.append(_f([10, 11], [a, b]))
+    m = clear_mot(gt, pred)
+    assert m["id_switches"] == 0 and m["mota"] == 1.0 and m["idf1"] == 1.0
+
+
+def test_clear_mot_rejects_length_mismatch():
+    from sfa3d_tpu.tracking.metrics import clear_mot
+    with pytest.raises(ValueError):
+        clear_mot([_f([], [])], [])
+
+
+def test_tracker_on_moving_scene_scores_perfect_mot_on_gt_detections():
+    """End-to-end: moving fixture -> tracker -> CLEAR-MOT. GT boxes as
+    detections must produce MOTA 1.0 / IDF1 1.0 / zero switches once
+    tracks are confirmed (min_hits=1)."""
+    from sfa3d_tpu.data.synthetic import moving_scene_sequence
+    from sfa3d_tpu.tracking.metrics import clear_mot, tracker_output_to_frames
+
+    F, n_obj = 8, 5
+    frames = moving_scene_sequence(F, seed=3, n_objects=n_obj,
+                                   points_per_object=8, n_ground=8,
+                                   n_clutter=8)
+    boxes = np.zeros((F, K, 8), np.float32)
+    scores = np.zeros((F, K), np.float32)
+    valid = np.zeros((F, K), bool)
+    gt = []
+    for f, (_pts, labels, gt_ids) in enumerate(frames):
+        boxes[f, :n_obj] = labels
+        scores[f, :n_obj] = 0.9
+        valid[f, :n_obj] = True
+        gt.append((gt_ids, labels[:, 1:3]))
+    outs = track_sequence(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(valid), max_tracks=32, min_hits=1)
+    pred = tracker_output_to_frames({k: np.asarray(v) for k, v in outs.items()})
+    m = clear_mot(gt, pred)
+    assert m["mota"] == 1.0, m
+    assert m["idf1"] == 1.0 and m["id_switches"] == 0
+    assert m["mostly_tracked"] == n_obj
+
+
+def test_tracker_output_to_frames_class_filter():
+    from sfa3d_tpu.tracking.metrics import tracker_output_to_frames
+    outs = {
+        "alive": np.array([[True, True, False]]),
+        "ids": np.array([[4, 5, 6]]),
+        "boxes": np.array([[[0, 1, 2, 0, 1, 1, 1, 0],
+                            [1, 3, 4, 0, 1, 1, 1, 0],
+                            [1, 9, 9, 0, 1, 1, 1, 0]]], np.float32),
+    }
+    (ids, xy), = tracker_output_to_frames(outs, cls=1)
+    assert list(ids) == [5] and xy.tolist() == [[3.0, 4.0]]
