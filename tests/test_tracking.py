@@ -346,3 +346,21 @@ def test_tracker_output_to_frames_class_filter():
     }
     (ids, xy), = tracker_output_to_frames(outs, cls=1)
     assert list(ids) == [5] and xy.tolist() == [[3.0, 4.0]]
+
+
+def test_tracking_check_script_oracle_mode(tmp_path):
+    """scripts/tracking_check.py plumbing: oracle mode must run the full
+    sequence->tracker->CLEAR-MOT loop and write the artifact with a
+    passing Car IDF1 (GT+noise detections are near-perfect input)."""
+    import json
+
+    from scripts.tracking_check import main as check_main
+
+    out = str(tmp_path / "TRACKING_CHECK.json")
+    check_main(["--oracle", "--n_seqs", "1", "--n_frames", "6",
+                "--n_objects", "4", "--out", out])
+    rec = json.load(open(out))
+    assert rec["mode"] == "oracle(gt+noise)"
+    assert rec["summary"]["overall"]["n_gt"] == 24
+    assert rec["summary"]["car"]["idf1"] is None or \
+        rec["summary"]["car"]["idf1"] >= 0.5
