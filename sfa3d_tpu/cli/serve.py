@@ -16,6 +16,13 @@ With --fused the server runs the full camera-LiDAR fusion pipeline
              [...], "classes": [...], "source": [...]},
              "boxes_3d": [[cls,x,y,z,h,w,l,yaw], ...]}
 
+With --track the server keeps per-stream 3D MOT state
+(runtime/tracking_service.py): replies gain "stream" + "tracks" (stable
+track_id, Kalman-smoothed box, velocity m/frame). Requests may carry
+"stream": <key> (default: one stream per connection) and
+"track_reset": true on a scene cut; frames of one stream must arrive in
+order on one connection.
+
 TCP mode (--port) accepts many concurrent connections; requests from all
 clients coalesce into shared device batches. Capability beyond the
 reference (it ships no serving layer — SURVEY.md §1).
@@ -64,6 +71,18 @@ def _parse(argv):
                    help="serve from an AOT export (cli export) instead of a "
                         "checkpoint: no model rebuild, weights come baked "
                         "into the StableHLO artifact")
+    p.add_argument("--track", action="store_true",
+                   help="stateful per-stream 3D MOT: replies gain a "
+                        "'tracks' list with stable track ids + velocities. "
+                        "Requests may set 'stream' (default: one stream per "
+                        "connection) and 'track_reset': true on a scene cut. "
+                        "Frames of a stream must arrive in order on one "
+                        "connection. LiDAR detector mode only.")
+    p.add_argument("--track_min_hits", type=int, default=2)
+    p.add_argument("--track_max_age", type=int, default=3)
+    p.add_argument("--track_iou_min", type=float, default=0.01)
+    p.add_argument("--track_coasting", action="store_true",
+                   help="also report unconfirmed/coasting tracks")
     return p.parse_args(argv)
 
 
@@ -119,13 +138,17 @@ def _submit_fused(server, req):
     return wire
 
 
-def _handle_stream(server, rfile, wfile, lock=None):
+def _handle_stream(server, rfile, wfile, lock=None, sessions=None,
+                   conn_name="stdio"):
     """One client. The reader (this function) only parses lines and submits
     — every pending request becomes an in-flight future immediately, so a
     burst from one client fills a device batch. A dedicated writer thread
     resolves futures in request order and streams replies; replies never
     wait for further input (a reader-thread flush would deadlock a client
-    that sends N requests and then blocks on the first reply)."""
+    that sends N requests and then blocks on the first reply). With
+    `sessions` (a TrackingSessions), the writer also advances the request's
+    tracker stream — writer order == request order, which is exactly the
+    frame-order contract stateful tracking needs."""
     import queue
 
     out_q: "queue.Queue" = queue.Queue()
@@ -135,7 +158,7 @@ def _handle_stream(server, rfile, wfile, lock=None):
             item = out_q.get()
             if item is None:
                 return
-            _reply(wfile, *item, lock=lock)
+            _reply(wfile, *item, lock=lock, sessions=sessions)
 
     t = threading.Thread(target=writer, daemon=True, name="serve-writer")
     t.start()
@@ -148,15 +171,18 @@ def _handle_stream(server, rfile, wfile, lock=None):
             try:
                 req = json.loads(line)
                 rid = req.get("id")
-                out_q.put((rid, _submit(server, req)))
+                stream = str(req.get("stream", conn_name))
+                if sessions is not None and req.get("track_reset"):
+                    sessions.reset(stream)
+                out_q.put((rid, _submit(server, req), stream))
             except Exception as e:
-                out_q.put((rid, e))
+                out_q.put((rid, e, None))
     finally:
         out_q.put(None)
         t.join()
 
 
-def _reply(wfile, rid, fut_or_err, lock=None):
+def _reply(wfile, rid, fut_or_err, stream=None, lock=None, sessions=None):
     from concurrent.futures import CancelledError
 
     if isinstance(fut_or_err, Exception):
@@ -169,6 +195,9 @@ def _reply(wfile, rid, fut_or_err, lock=None):
             msg = {"id": rid, **res} if isinstance(res, dict) else {
                 "id": rid, "detections": res
             }
+            if sessions is not None and not isinstance(res, dict):
+                msg["stream"] = stream
+                msg["tracks"] = sessions.update(stream, res)
         except CancelledError:
             # server.stop() cancels still-queued requests; CancelledError is a
             # BaseException (py>=3.8), so a bare `except Exception` would kill
@@ -262,10 +291,25 @@ def main(argv=None):
         server = BatchingDetectorServer(
             det, max_batch=args.max_batch, max_delay_ms=args.max_delay_ms
         )
+    sessions = None
+    if args.track:
+        if isinstance(server, BatchingFusedServer):
+            raise SystemExit(
+                "--track supports the LiDAR detector server only "
+                "(fused replies carry 2D fusion output, not 3D boxes "
+                "in tracker layout)")
+        from sfa3d_tpu.runtime.tracking_service import TrackingSessions
+
+        sessions = TrackingSessions(
+            K=args.K, min_hits=args.track_min_hits,
+            max_age=args.track_max_age, iou_min=args.track_iou_min,
+            include_coasting=args.track_coasting,
+        )
+
     if args.port is None:
         if args.warmup:
             server.warmup()
-        _handle_stream(server, sys.stdin, sys.stdout)
+        _handle_stream(server, sys.stdin, sys.stdout, sessions=sessions)
         server.stop()
         print(json.dumps({"stats": server.stats}), file=sys.stderr)
         return
@@ -282,20 +326,26 @@ def main(argv=None):
         # getting connection-refused while the buckets compile
         server.warmup()
 
-    def client(conn):
+    conn_seq = iter(range(1 << 62))
+
+    def client(conn, name):
         with conn:
             rfile = conn.makefile("r")
             wfile = conn.makefile("w")
             lock = threading.Lock()
             try:
-                _handle_stream(server, rfile, wfile, lock=lock)
+                _handle_stream(server, rfile, wfile, lock=lock,
+                               sessions=sessions, conn_name=name)
             except (BrokenPipeError, ConnectionResetError):
                 pass
 
     try:
         while True:
             conn, _ = sock.accept()
-            threading.Thread(target=client, args=(conn,), daemon=True).start()
+            threading.Thread(
+                target=client, args=(conn, f"conn-{next(conn_seq)}"),
+                daemon=True,
+            ).start()
     except KeyboardInterrupt:
         pass
     finally:

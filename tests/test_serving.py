@@ -254,3 +254,113 @@ def test_tcp_fused_protocol(tmp_path, scans):
     finally:
         proc.terminate()
         proc.wait(timeout=60)
+
+
+# ---------------------------------------------------------------------------
+# stateful per-stream tracking (runtime/tracking_service.py, serve --track)
+# ---------------------------------------------------------------------------
+
+def _det(x, y, cls=1, score=0.9):
+    return {"class_id": cls, "class_name": "Car", "score": score,
+            "x": x, "y": y, "z": -1.0, "h": 1.5, "w": 1.6, "l": 3.9,
+            "yaw": 0.0}
+
+
+def test_tracking_sessions_stable_ids_streams_isolated_and_reset():
+    from sfa3d_tpu.runtime.tracking_service import TrackingSessions
+
+    s = TrackingSessions(K=8, max_tracks=16, min_hits=1)
+    # stream A: one car advancing 0.5 m/frame -> one stable id
+    ids_a = []
+    for f in range(4):
+        tracks = s.update("a", [_det(10.0 + 0.5 * f, 0.0)])
+        assert len(tracks) == 1
+        ids_a.append(tracks[0]["track_id"])
+    assert len(set(ids_a)) == 1
+    t = s.update("a", [_det(12.0, 0.0)])[0]
+    assert t["class_name"] == "Car" and t["confirmed"]
+    assert abs(t["velocity"][0] - 0.5) < 0.3  # converged toward true vx
+
+    # stream B is independent: same geometry, its OWN tracker + id space
+    tracks_b = s.update("b", [_det(10.0, 0.0)])
+    assert len(tracks_b) == 1
+    assert s.n_streams == 2
+
+    # reset drops A's state; the re-born track gets a NEW id
+    s.reset("a")
+    re = s.update("a", [_det(12.5, 0.0)])
+    assert re[0]["track_id"] not in ids_a
+
+
+def test_tracking_sessions_lru_eviction_bounds_memory():
+    from sfa3d_tpu.runtime.tracking_service import TrackingSessions
+
+    s = TrackingSessions(K=4, max_tracks=8, min_hits=1, max_streams=3)
+    for i in range(5):
+        s.update(f"s{i}", [_det(10.0, 0.0)])
+    assert s.n_streams == 3  # s0, s1 evicted
+
+
+def test_tcp_server_track_mode(tmp_path, detector, scans):
+    """serve --track over TCP: replies carry stream + tracks; identical
+    consecutive frames on one stream keep the same track ids (random-weight
+    detections are deterministic per input, so frame 2 == frame 1 and the
+    tracker must re-associate every box); a second stream starts its own
+    id space and state."""
+    scans[0].astype(np.float32).tofile(tmp_path / "scan.bin")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sfa3d_tpu.cli", "serve", "--port", "0",
+         "--peak_thresh", "0.0", "--max_delay_ms", "5", "--platform", "cpu",
+         "--track", "--track_min_hits", "1"],
+        stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        port = None
+        for line in proc.stderr:
+            if line.startswith("serving on "):
+                port = int(line.strip().rsplit(":", 1)[1])
+                break
+        assert port, "server never announced its port"
+        import threading
+
+        threading.Thread(
+            target=lambda: [None for _ in proc.stderr], daemon=True
+        ).start()
+        scan = str(tmp_path / "scan.bin")
+        with socket.create_connection(("127.0.0.1", port), timeout=600) as conn:
+            conn.settimeout(600)
+            f = conn.makefile("rw")
+            for rid, stream in [(1, "cam0"), (2, "cam0"), (3, "cam1")]:
+                f.write(json.dumps(
+                    {"id": rid, "lidar": scan, "stream": stream}) + "\n")
+            f.flush()
+            replies = [json.loads(f.readline()) for _ in range(3)]
+            # scene cut: track_reset births fresh ids on cam0
+            f.write(json.dumps({"id": 4, "lidar": scan, "stream": "cam0",
+                                "track_reset": True}) + "\n")
+            f.flush()
+            replies.append(json.loads(f.readline()))
+        by_id = {r["id"]: r for r in replies}
+        for r in replies:
+            assert "tracks" in r and "detections" in r, r.get("error")
+        assert by_id[1]["stream"] == "cam0"
+        assert by_id[3]["stream"] == "cam1"
+        ids1 = {t["track_id"] for t in by_id[1]["tracks"]}
+        ids2 = {t["track_id"] for t in by_id[2]["tracks"]}
+        assert ids1, "no tracks born from K=50 peak_thresh=0 detections"
+        # identical consecutive frames: the well-formed boxes re-associate
+        # (random-weight output includes degenerate near-zero-dim boxes
+        # whose self-IoU is 0 — those coast+rebirth, so subset, not equal)
+        assert ids1 & ids2, "no identity persisted across identical frames"
+        # track ids are a PER-STREAM namespace (replies carry 'stream');
+        # cam1 has its own tracker and must produce tracks independently
+        ids3 = {t["track_id"] for t in by_id[3]["tracks"]}
+        assert ids3
+        # scene cut: the id counter carries over, so post-reset ids are
+        # disjoint from everything cam0 produced before
+        ids4 = {t["track_id"] for t in by_id[4]["tracks"]}
+        assert ids4 and not (ids4 & (ids1 | ids2)), \
+            "track_reset must re-birth fresh ids"
+    finally:
+        proc.terminate()
+        proc.wait(timeout=60)
