@@ -258,6 +258,18 @@ def main():
     budget = float(os.environ.get("SFA3D_BENCH_WATCHDOG_SECS", "1800"))
     watchdog = start_watchdog(budget) if budget > 0 else None
 
+    # Persistent XLA compilation cache: a cold 608^2 pipeline compile on the
+    # tunneled chip costs 5-30 min (CPU-contention dependent) and has blown
+    # the watchdog; a warm cache re-loads the executables in seconds. On by
+    # default; SFA3D_BENCH_NO_CACHE=1 restores cold-compile timing.
+    if os.environ.get("SFA3D_BENCH_NO_CACHE", "0") != "1":
+        try:
+            from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+            enable_compilation_cache(os.environ.get("SFA3D_COMPILATION_CACHE"))
+        except Exception:
+            pass  # cache is an optimization; never fail the bench over it
+
     if args.train:
         import contextlib as _ctx
 
