@@ -148,7 +148,11 @@ def _handle_stream(server, rfile, wfile, lock=None, sessions=None,
     that sends N requests and then blocks on the first reply). With
     `sessions` (a TrackingSessions), the writer also advances the request's
     tracker stream — writer order == request order, which is exactly the
-    frame-order contract stateful tracking needs."""
+    frame-order contract stateful tracking needs. `track_reset` rides the
+    queue with its request and is applied by the WRITER, so a scene cut
+    lands in request order too (a reader-side reset would fire while
+    earlier frames of the stream are still queued, letting a pre-cut
+    track_id leak across the cut)."""
     import queue
 
     out_q: "queue.Queue" = queue.Queue()
@@ -167,24 +171,28 @@ def _handle_stream(server, rfile, wfile, lock=None, sessions=None,
             line = line.strip()
             if not line:
                 continue
-            rid = None
+            rid, stream, reset = None, None, False
             try:
                 req = json.loads(line)
                 rid = req.get("id")
                 stream = str(req.get("stream", conn_name))
-                if sessions is not None and req.get("track_reset"):
-                    sessions.reset(stream)
-                out_q.put((rid, _submit(server, req), stream))
+                reset = bool(req.get("track_reset"))
+                out_q.put((rid, _submit(server, req), stream, reset))
             except Exception as e:
-                out_q.put((rid, e, None))
+                out_q.put((rid, e, stream, reset))
     finally:
         out_q.put(None)
         t.join()
 
 
-def _reply(wfile, rid, fut_or_err, stream=None, lock=None, sessions=None):
+def _reply(wfile, rid, fut_or_err, stream=None, reset=False, lock=None,
+           sessions=None):
     from concurrent.futures import CancelledError
 
+    # the scene cut applies HERE, in request order, even when the request
+    # itself errors — the client declared frame history invalid either way
+    if sessions is not None and reset and stream is not None:
+        sessions.reset(stream)
     if isinstance(fut_or_err, Exception):
         msg = {"id": rid, "error": str(fut_or_err)}
     else:

@@ -301,6 +301,62 @@ def test_tracking_sessions_lru_eviction_bounds_memory():
     assert s.n_streams == 3  # s0, s1 evicted
 
 
+def test_track_reset_applies_in_request_order():
+    """Regression: a scene cut (track_reset) must land in REQUEST order.
+    The reader thread used to apply it at parse time, while tracker
+    updates run in the writer thread at reply time — so a reset racing
+    ahead of still-queued earlier frames was a no-op on a brand-new
+    stream, and the post-cut frame CONTINUED the pre-cut track id across
+    the declared cut. Made deterministic with a fake server whose futures
+    resolve only after both requests are already queued."""
+    import io
+    import threading
+    import time
+    from concurrent.futures import Future
+
+    from sfa3d_tpu.cli.serve import _handle_stream
+    from sfa3d_tpu.runtime.tracking_service import TrackingSessions
+
+    sessions = TrackingSessions(K=4, max_tracks=8, min_hits=1)
+    futs = []
+
+    class FakeServer:
+        def submit(self, pts):
+            f = Future()
+            futs.append(f)
+            return f
+
+    pts = [[0.0, 0.0, 0.0, 0.0]]
+    req1 = {"id": 1, "stream": "cam", "points": pts}
+    req2 = {"id": 2, "stream": "cam", "points": pts, "track_reset": True}
+    rfile = io.StringIO(json.dumps(req1) + "\n" + json.dumps(req2) + "\n")
+    wfile = io.StringIO()
+    t = threading.Thread(
+        target=_handle_stream, args=(FakeServer(), rfile, wfile),
+        kwargs=dict(sessions=sessions), daemon=True,
+    )
+    t.start()
+    deadline = time.time() + 30
+    while len(futs) < 2 and time.time() < deadline:
+        time.sleep(0.01)
+    assert len(futs) == 2, "both requests must be in flight before replies"
+    # frames resolve AFTER the cut was parsed — writer order must still be
+    # update(frame1), reset, update(frame2)
+    futs[0].set_result([_det(10.0, 0.0)])
+    futs[1].set_result([_det(10.0, 0.0)])
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    by_id = {r["id"]: r for r in
+             (json.loads(l) for l in wfile.getvalue().splitlines())}
+    ids1 = {tr["track_id"] for tr in by_id[1]["tracks"]}
+    ids2 = {tr["track_id"] for tr in by_id[2]["tracks"]}
+    assert ids1, "frame 1 must birth a track"
+    assert ids2, "frame 2 must birth a fresh post-cut track"
+    assert not (ids1 & ids2), (
+        f"track_id crossed the declared scene cut: {ids1 & ids2}")
+
+
 def test_tcp_server_track_mode(tmp_path, detector, scans):
     """serve --track over TCP: replies carry stream + tracks; identical
     consecutive frames on one stream keep the same track ids (random-weight
