@@ -196,7 +196,8 @@ def bench_train(args):
     print(
         json.dumps(
             {
-                "metric": "KITTI training steps/sec/chip (608^2, batch 16 x 4 subdivisions, bf16)",
+                "metric": (f"KITTI training steps/sec/chip (608^2, batch "
+                           f"{b} x {s} subdivisions, bf16)"),
                 "value": round(iters / dt, 3),
                 "unit": "optimizer steps/sec/chip",
                 "frames_per_sec": round(s * b * iters / dt, 2),
@@ -207,20 +208,27 @@ def bench_train(args):
     )
 
 
-def start_watchdog(seconds: float) -> threading.Timer:
+def start_watchdog(
+    seconds: float,
+    metric: str = ("end-to-end KITTI frames/sec/chip (BEV+KFPN+YOLOv8n+"
+                   "Bayesian fusion+Gaussian NMS, float32 parity mode)"),
+    unit: str = "frames/sec/chip",
+) -> threading.Timer:
     """The tunneled TPU in this environment can wedge COMPLETELY (trivial
     ops from fresh processes hang >10 min; observed mid-round, see
     .claude/skills/verify/SKILL.md). A wedged chip would make this script
     hang forever and leave the round with NO bench record at all — so if
     the run hasn't finished within `seconds`, print an honest diagnostic
-    JSON line (value 0, error field) and exit nonzero. Override the budget
-    with SFA3D_BENCH_WATCHDOG_SECS; 0 disables."""
+    JSON line (value 0, error field, the MODE'S metric label so the record
+    attributes the failure to the bench that actually ran) and exit
+    nonzero. Override the budget with SFA3D_BENCH_WATCHDOG_SECS; 0
+    disables."""
 
     def fire():
         print(json.dumps({
-            "metric": "end-to-end KITTI frames/sec/chip (BEV+KFPN+YOLOv8n+Bayesian fusion+Gaussian NMS, float32 parity mode)",
+            "metric": metric,
             "value": 0.0,
-            "unit": "frames/sec/chip",
+            "unit": unit,
             "vs_baseline": 0.0,
             "error": f"bench did not complete within {seconds:.0f}s — "
                      "TPU tunnel wedged (this environment's known failure "
@@ -256,7 +264,15 @@ def main():
     args = ap.parse_args()
 
     budget = float(os.environ.get("SFA3D_BENCH_WATCHDOG_SECS", "1800"))
-    watchdog = start_watchdog(budget) if budget > 0 else None
+    wd_kw = {}
+    if args.train:
+        wd_kw = dict(
+            metric=(f"KITTI training steps/sec/chip (608^2, batch "
+                    f"{args.train_batch} x {args.subdivisions} "
+                    f"subdivisions, bf16)"),
+            unit="optimizer steps/sec/chip",
+        )
+    watchdog = start_watchdog(budget, **wd_kw) if budget > 0 else None
 
     # Persistent XLA compilation cache: a cold 608^2 pipeline compile on the
     # tunneled chip costs 5-30 min (CPU-contention dependent) and has blown

@@ -309,7 +309,11 @@ def main(argv=None):
         from sfa3d_tpu.runtime.tracking_service import TrackingSessions
 
         sessions = TrackingSessions(
-            K=args.K, min_hits=args.track_min_hits,
+            # capacity follows the BACKING detector, not --K: with
+            # --artifact the flag is ignored (warned above) and the
+            # artifact bakes its own K — sizing from args.K would silently
+            # truncate tracking input every frame
+            K=server.det.K, min_hits=args.track_min_hits,
             max_age=args.track_max_age, iou_min=args.track_iou_min,
             include_coasting=args.track_coasting,
         )

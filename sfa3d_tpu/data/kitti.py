@@ -91,10 +91,17 @@ def parse_labels_camera(label_path: str) -> Tuple[np.ndarray, np.ndarray, bool]:
     the evaluator's Easy/Moderate/Hard buckets."""
     labels, levels = [], []
     for line in open(label_path):
-        if not line.strip():
+        parts = line.split()
+        if not parts:
+            continue
+        # class gate BEFORE any float parsing (reference behavior,
+        # kitti_dataset.py:128-131): a truncated/garbage row whose first
+        # token is not a known class is skipped, not a ValueError; a
+        # known-class row with bad fields still raises loudly
+        if parts[0] not in cnf.CLASS_NAME_TO_ID:
             continue
         obj = Object3d(line)
-        if obj.type not in cnf.CLASS_NAME_TO_ID or obj.cls_id <= -99:
+        if obj.cls_id <= -99:
             continue
         labels.append([obj.cls_id, *obj.t, obj.h, obj.w, obj.l, obj.ry])
         levels.append(obj.level)

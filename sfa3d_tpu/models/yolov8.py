@@ -497,6 +497,11 @@ def load_yolo_variables(path, scale: str = "n", num_classes: int = 80):
     if hasattr(sd, "state_dict"):
         sd = sd.float().state_dict() if hasattr(sd, "float") else sd.state_dict()
     if any(k.startswith("model.model.") for k in sd):
-        # a YOLO *wrapper* state_dict prefixes an extra 'model.'
-        sd = {k[len("model."):]: v for k, v in sd.items()}
+        # a YOLO *wrapper* state_dict prefixes an extra 'model.' — strip it
+        # ONLY from keys that carry it: an ultralytics trainer checkpoint
+        # can hold non-prefixed siblings (e.g. 'criterion.bce.weight'), and
+        # a blind 6-char slice would mangle those (and could collide two
+        # keys, silently dropping a tensor)
+        sd = {(k[len("model."):] if k.startswith("model.") else k): v
+              for k, v in sd.items()}
     return port_ultralytics_state_dict(sd, scale=scale, num_classes=num_classes)

@@ -10,12 +10,21 @@ with the compiled `tracker_step` shared by every stream (same shapes ->
 one XLA program).
 
 Design constraints:
-- Per-stream mutual exclusion (a lock per stream): tracker state is the
+- Per-stream mutual exclusion (a striped lock pool): tracker state is the
   one piece of order-dependent state in the server. Frames of one stream
   must be submitted in order on one connection; the serve CLI's writer
   thread resolves replies in request order, which preserves that order.
+  Locks come from a FIXED pool indexed by stream-key hash: a per-stream
+  lock dict would either grow without bound or have to drop locks on
+  eviction — and dropping a lock another thread currently holds breaks
+  the mutual exclusion. Stripe collisions only over-serialize two
+  unlucky streams.
 - Bounded memory: streams are LRU-evicted beyond `max_streams` (a public
-  endpoint fed random stream keys must not grow without bound).
+  endpoint fed random stream keys must not grow without bound). An
+  evicted stream that RETURNS restarts with fresh tracker state — but
+  its ids resume from a service-wide floor (the max next_id ever
+  evicted), so a track_id is never reused within one logical stream:
+  the consumer sees a scene cut, never two objects sharing an id.
 - The device work is O(max_tracks * K) per frame and tiny next to the
   detector itself (64x50 rotated-IoU + Kalman update).
 """
@@ -46,9 +55,8 @@ class TrackingSessions:
         min_hits: int = 2,
         max_streams: int = 256,
         include_coasting: bool = False,
+        lock_stripes: int = 64,
     ):
-        import jax
-
         from sfa3d_tpu.tracking import init_tracks, tracker_step
 
         self.K = int(K)
@@ -56,19 +64,21 @@ class TrackingSessions:
         self.max_streams = int(max_streams)
         self.include_coasting = bool(include_coasting)
         self._init_tracks = init_tracks
-        self._step = jax.jit(partial(
+        # tracker_step is already jitted with these as static kwargs — a
+        # plain partial hits the same compiled cache
+        self._step = partial(
             tracker_step, iou_min=iou_min, max_age=max_age, min_hits=min_hits
-        ))
+        )
         self._states: "OrderedDict[str, object]" = OrderedDict()
-        self._locks: Dict[str, threading.Lock] = {}
-        self._registry = threading.Lock()  # guards the two dicts above
+        self._lock_pool = [threading.Lock() for _ in range(lock_stripes)]
+        self._registry = threading.Lock()  # guards _states + _id_floor
+        # max next_id ever LRU-evicted: a returning evicted stream resumes
+        # ids from here, never from 0 (see module docstring)
+        self._id_floor = 0
 
     # -- stream registry --------------------------------------------------
     def _acquire(self, stream: str) -> threading.Lock:
-        with self._registry:
-            if stream not in self._locks:
-                self._locks[stream] = threading.Lock()
-            return self._locks[stream]
+        return self._lock_pool[hash(stream) % len(self._lock_pool)]
 
     def reset(self, stream: str) -> None:
         """Drop a stream's tracks (scene cut / new recording). The id
@@ -81,19 +91,30 @@ class TrackingSessions:
                     self.max_tracks)._replace(next_id=old.next_id)
 
     def _get_state(self, stream: str):
+        import jax.numpy as jnp
+
         with self._registry:
             if stream in self._states:
                 self._states.move_to_end(stream)
                 return self._states[stream]
-        return self._init_tracks(self.max_tracks)
+            floor = self._id_floor
+        return self._init_tracks(self.max_tracks)._replace(
+            next_id=jnp.int32(floor))
 
     def _put_state(self, stream: str, state) -> None:
+        evicted_states = []
         with self._registry:
             self._states[stream] = state
             self._states.move_to_end(stream)
             while len(self._states) > self.max_streams:
-                evicted, _ = self._states.popitem(last=False)
-                self._locks.pop(evicted, None)
+                evicted_states.append(self._states.popitem(last=False)[1])
+        # materialize the evicted counters OUTSIDE the registry lock (a
+        # device->host scalar fetch; rare — only on eviction) and raise the
+        # service-wide id floor so the evicted streams' ids are never reused
+        if evicted_states:
+            high = max(int(s.next_id) for s in evicted_states)
+            with self._registry:
+                self._id_floor = max(self._id_floor, high)
 
     @property
     def n_streams(self) -> int:

@@ -52,6 +52,23 @@ def test_label_roundtrip_preserves_yaw(mini_kitti):
     assert dyaw.max() < 0.02
 
 
+def test_parse_labels_camera_skips_malformed_unknown_rows(tmp_path):
+    """Regression: the class gate must run BEFORE float parsing (reference
+    kitti_dataset.py:128-131) — a truncated/garbage row whose first token
+    is not a known class is skipped, not a ValueError crash."""
+    good = "Car 0.00 0 1.5 100 100 200 160 1.5 1.6 3.9 1.0 1.5 20.0 0.5"
+    f = tmp_path / "000000.txt"
+    f.write_text("\n".join([
+        good,
+        "garbage_header",               # stray non-numeric row
+        "1.0 2.0 3.0",                  # truncated numeric row, unknown type
+        "Tram 0.00 0 1.5 1 1 2 2 1 1 1 1 1 10 0",  # known-but-ignored class
+        "",                             # blank line
+    ]) + "\n")
+    rows, levels, has = parse_labels_camera(str(f))
+    assert has and rows.shape == (1, 8) and rows[0, 0] == 1  # just the Car
+
+
 def test_object3d_difficulty():
     line = "Car 0.10 0 1.5 100 100 200 160 1.5 1.6 3.9 1.0 1.5 20.0 0.5"
     o = Object3d(line)

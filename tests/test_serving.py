@@ -301,6 +301,28 @@ def test_tracking_sessions_lru_eviction_bounds_memory():
     assert s.n_streams == 3  # s0, s1 evicted
 
 
+def test_tracking_sessions_evicted_stream_never_reuses_ids():
+    """Regression: LRU eviction dropped a stream's id counter, so a
+    still-active stream that got evicted and returned re-issued track_id 0
+    for a DIFFERENT object within one logical stream. Ids must resume from
+    a service-wide floor after eviction — the consumer sees a scene cut,
+    never two objects sharing an id."""
+    from sfa3d_tpu.runtime.tracking_service import TrackingSessions
+
+    s = TrackingSessions(K=4, max_tracks=8, min_hits=1, max_streams=2)
+    first = s.update("cam", [_det(10.0, 0.0)])
+    assert [t["track_id"] for t in first] == [0]
+    # evict 'cam' (max_streams=2)
+    s.update("other1", [_det(10.0, 0.0)])
+    s.update("other2", [_det(10.0, 0.0)])
+    assert s.n_streams == 2
+    # 'cam' returns: fresh state is fine (bounded memory), reused ids are not
+    back = s.update("cam", [_det(50.0, 5.0)])
+    assert back, "returning stream must track again"
+    assert all(t["track_id"] > 0 for t in back), (
+        f"track_id reused after eviction: {back}")
+
+
 def test_track_reset_applies_in_request_order():
     """Regression: a scene cut (track_reset) must land in REQUEST order.
     The reader thread used to apply it at parse time, while tracker

@@ -457,7 +457,12 @@ def test_load_yolo_variables_pt_layouts(tmp_path):
     full = tmp_path / "full_ckpt.pt"
     torch.save({"model": tmodel, "epoch": 3}, full)
     wrapped = tmp_path / "wrapper_sd.pt"
-    torch.save({f"model.{k}": v for k, v in tmodel.state_dict().items()}, wrapped)
+    wsd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
+    # ultralytics trainer checkpoints carry non-'model.'-prefixed siblings;
+    # the prefix strip must leave them intact (a blind 6-char slice would
+    # mangle them and could collide two keys, silently dropping a tensor)
+    wsd["criterion.bce.weight"] = torch.ones(3)
+    torch.save(wsd, wrapped)
 
     v_raw = load_yolo_variables(str(raw))
     for path in (full, wrapped):
