@@ -55,6 +55,8 @@ def train_cmd(args, root, tmp):
         # augmentation ON: reference train-time aug (OneOf(rotation, scaling)
         # p=0.66 + BEV hflip) — the defaults
     ]
+    if args.ema_decay:
+        cmd += ["--ema_decay", str(args.ema_decay)]
     if args.cpu:
         cmd += ["--platform", "cpu"]
     return cmd
@@ -74,6 +76,10 @@ def main():
     ap.add_argument("--checkpoint_freq", type=int, default=20)
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="train with a parameter EMA and evaluate the EMA "
+                         "weights (the modern-detector stabilizer; smooths "
+                         "the val curve's epoch-to-epoch oscillation)")
     ap.add_argument("--kill_after_epoch", type=int, default=None,
                     help="SIGKILL the trainer once this epoch's checkpoint "
                          "lands (default: epochs//3 rounded to a checkpoint; "
@@ -201,7 +207,7 @@ def main():
             "--num_samples", str(args.frames_val),
             "--pretrained_path", ckpt,
             "--peak_thresh", "0.2",
-        ])
+        ] + (["--use_ema"] if args.ema_decay else []))
         row = {
             "epoch": epoch,
             "val_mAP": round(res["mAP"], 4),
@@ -234,6 +240,7 @@ def main():
             "batch_size": args.batch_size,
             "effective_batch": args.effective_batch,
             "lr": args.lr, "lr_type": "cosin",
+            "ema_decay": args.ema_decay or None,
             "augmentation": "ON (reference defaults: OneOf(rotation, scaling) p=0.66 + hflip)",
             "dtype": args.dtype,
         },

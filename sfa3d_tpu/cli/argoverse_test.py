@@ -24,6 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--dataset_dir", type=str, required=True)
     p.add_argument("--arch", type=str, default="fpn_resnet_18")
     p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA weights of an --ema_decay run")
     p.add_argument("--target_camera", type=str, default="ring_front_center")
     p.add_argument("--peak_thresh", type=float, default=0.2)
     p.add_argument("--num_samples", type=int, default=None)
@@ -45,7 +47,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model)
+    variables = load_variables(args.pretrained_path, args.arch, model,
+                               use_ema=args.use_ema)
 
     dataset = ArgoverseDataset(
         args.dataset_dir, mode="test",

@@ -21,6 +21,8 @@ def parse_args(argv=None):
     p.add_argument("--saved_fn", type=str, default="fpn_resnet_18")
     p.add_argument("--arch", type=str, default="fpn_resnet_18")
     p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA weights of an --ema_decay run")
     p.add_argument("--drive_dir", type=str, required=True,
                    help="KITTI raw drive folder containing image_02/ and velodyne_points/")
     p.add_argument("--two_sides", action="store_true")
@@ -48,7 +50,8 @@ def main(argv=None):
 
     args = parse_args(argv)
     model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model)
+    variables = load_variables(args.pretrained_path, args.arch, model,
+                               use_ema=args.use_ema)
 
     dataset = DemoKittiDataset(args.drive_dir)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -29,6 +29,9 @@ def parse_args(argv=None):
                    choices=["cpu", "tpu"],
                    help="force a jax platform (the axon plugin ignores "
                         "JAX_PLATFORMS; this uses the config flag, which wins)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA weights saved by an --ema_decay "
+                        "training run instead of the raw weights")
     return p.parse_args(argv)
 
 
@@ -44,7 +47,8 @@ def main(argv=None):
     from sfa3d_tpu.models import create_model, load_variables
     from sfa3d_tpu.pipeline import detect_frames
     model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model)
+    variables = load_variables(args.pretrained_path, args.arch, model,
+                               use_ema=args.use_ema)
 
     dataset = KittiDataset(
         args.dataset_dir, mode=args.split, hflip_prob=0.0,

@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--pretrained_path", type=str, default=None,
                    help="KFPN checkpoint (.pth or Orbax dir); RANDOM weights "
                         "with a warning if absent")
+    p.add_argument("--use_ema", action="store_true",
+                   help="bake the EMA weights of an --ema_decay run into "
+                        "the artifact")
     p.add_argument("--arch", type=str, default="fpn_resnet_18")
     p.add_argument("--K", type=int, default=50)
     p.add_argument("--peak_thresh", type=float, default=0.2)
@@ -78,7 +81,8 @@ def main(argv=None):
     platforms = args.platforms.split(",") if args.platforms else None
     max_points = args.max_points or cnf.MAX_POINTS_FILTERED
     model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model=model)
+    variables = load_variables(args.pretrained_path, args.arch, model=model,
+                               use_ema=args.use_ema)
 
     if args.fused:
         from sfa3d_tpu.models.yolov8 import YOLOv8, load_yolo_variables

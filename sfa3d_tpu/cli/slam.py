@@ -21,6 +21,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="sfa3d_tpu dynamic-calibration fusion (slam.py/msac.py parity)")
     p.add_argument("--arch", type=str, default="fpn_resnet_18")
     p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA weights of an --ema_decay run")
     p.add_argument("--yolo_weights", type=str, default=None,
                    help="ultralytics yolov8 .pt to import (random weights if absent)")
     p.add_argument("--imgsz", type=int, default=640,
@@ -55,7 +57,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model)
+    variables = load_variables(args.pretrained_path, args.arch, model,
+                               use_ema=args.use_ema)
     yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights),
                           imgsz=args.imgsz)
 

@@ -21,6 +21,8 @@ def parse_args(argv=None):
     p.add_argument("--saved_fn", type=str, default="fpn_resnet_18", metavar="FN")
     p.add_argument("--arch", type=str, default="fpn_resnet_18", metavar="ARCH")
     p.add_argument("--pretrained_path", type=str, default=None, metavar="PATH")
+    p.add_argument("--use_ema", action="store_true",
+                   help="load the EMA weights of an --ema_decay run")
     p.add_argument("--dataset_dir", type=str, default="./dataset/kitti")
     p.add_argument("--K", type=int, default=50)
     p.add_argument("--peak_thresh", type=float, default=0.2)
@@ -53,7 +55,8 @@ def main(argv=None):
 
     args = parse_args(argv)
     model = create_model(args.arch)
-    variables = load_variables(args.pretrained_path, args.arch, model)
+    variables = load_variables(args.pretrained_path, args.arch, model,
+                               use_ema=args.use_ema)
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     os.makedirs(args.output_dir, exist_ok=True)

@@ -112,7 +112,14 @@ def main(argv=None):
     plot_lr_schedule(lr_sched, configs.runtime.num_epochs, steps_per_epoch,
                      configs.logs_dir, configs.optim.lr_type)
 
-    state = create_train_state(model, variables, tx)
+    use_ema = configs.optim.ema_decay > 0.0
+    state = create_train_state(model, variables, tx, ema=use_ema)
+    if use_ema:
+        logger.info(
+            f"parameter EMA on: decay {configs.optim.ema_decay} "
+            f"tau {configs.optim.ema_tau} (EMA weights checkpointed; "
+            f"--use_ema selects them at eval/serve time)"
+        )
     start_epoch = configs.runtime.start_epoch
     resume_path = configs.runtime.resume_path
     if not resume_path and configs.runtime.auto_resume:
@@ -129,7 +136,10 @@ def main(argv=None):
         logger.info(f"resumed from {resume_path} at epoch {epoch}")
     state = replicate(mesh, state)
 
-    train_step = make_train_step(model, tx, mesh)
+    train_step = make_train_step(
+        model, tx, mesh,
+        ema_decay=configs.optim.ema_decay, ema_tau=configs.optim.ema_tau,
+    )
     eval_step = make_eval_step(model, mesh)
 
     if configs.runtime.evaluate:
@@ -249,11 +259,15 @@ def maybe_val_ap(configs, ckpt_path, epoch, logger, tb_writer):
     ]
     if configs.runtime.val_ap_samples:
         ap_args += ["--num_samples", str(configs.runtime.val_ap_samples)]
+    ema = configs.optim.ema_decay > 0.0
+    if ema:
+        # with EMA on, the EMA weights are the deliverable — select on them
+        ap_args += ["--use_ema"]
     res = eval_main(ap_args)
     per_class = {k: v for k, v in res.items()
                  if k.startswith("AP_") and not isinstance(v, dict)}
     logger.info(
-        f"val AP (epoch {epoch}): mAP {res['mAP']:.4f} "
+        f"val AP{' (EMA weights)' if ema else ''} (epoch {epoch}): mAP {res['mAP']:.4f} "
         f"mAOS {res.get('mAOS', 0.0):.4f} "
         + " ".join(f"{k} {v:.4f}" for k, v in sorted(per_class.items()))
     )

@@ -86,6 +86,12 @@ class OptimConfig:
     # Effective global batch kept at 64 via gradient accumulation
     # ("subdivisions", reference train.py:84-86).
     effective_batch: int = 64
+    # Parameter EMA (beyond-reference; ultralytics-style ramped decay
+    # d(t) = ema_decay * (1 - exp(-t/ema_tau))). 0 disables. When on, the
+    # EMA weights are checkpointed alongside the raw ones and selected by
+    # --use_ema on the eval/test/fuse side.
+    ema_decay: float = 0.0
+    ema_tau: float = 2000.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,6 +200,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("-wd", "--weight_decay", type=float, default=0.0, metavar="WD")
     p.add_argument("--optimizer_type", type=str, default="adam", metavar="OPTIMIZER")
     p.add_argument("--steps", nargs="*", default=[150, 180])
+    p.add_argument("--ema_decay", type=float, default=0.0, metavar="D",
+                   help="parameter-EMA terminal decay (e.g. 0.9995); 0 "
+                        "disables. EMA weights are checkpointed alongside "
+                        "the raw ones (--use_ema selects them downstream)")
+    p.add_argument("--ema_tau", type=float, default=2000.0, metavar="T",
+                   help="EMA decay ramp constant: d(t)=decay*(1-exp(-t/T))")
     p.add_argument("--effective_batch", type=int, default=64,
                    help="global batch kept via gradient accumulation (train.py:84-86)")
     # TPU replacement for the DDP flag block.
@@ -260,6 +272,8 @@ def parse_train_configs(argv=None) -> TrainConfig:
             lr_type=args.lr_type,
             steps=tuple(int(s) for s in args.steps),
             effective_batch=args.effective_batch,
+            ema_decay=args.ema_decay,
+            ema_tau=args.ema_tau,
         ),
         runtime=RuntimeConfig(
             seed=args.seed,

@@ -38,10 +38,13 @@ def create_model(arch: str = "fpn_resnet_18", head_conv: int = 64, dtype=jnp.flo
     raise ValueError(f"unknown arch: {arch}")
 
 
-def load_variables(pretrained_path, arch: str = "fpn_resnet_18", model=None, rng_seed: int = 0):
+def load_variables(pretrained_path, arch: str = "fpn_resnet_18", model=None,
+                   rng_seed: int = 0, use_ema: bool = False):
     """Unified checkpoint loading for entry points: reference torch .pth,
     this framework's Orbax composite directory, or None -> fresh init (with
-    a warning, since silent random weights produce garbage detections)."""
+    a warning, since silent random weights produce garbage detections).
+    use_ema selects the EMA weights of an --ema_decay training run (Orbax
+    directories only — torch .pth checkpoints carry raw weights)."""
     import os
 
     from sfa3d_tpu.pipeline import init_detector
@@ -49,6 +52,9 @@ def load_variables(pretrained_path, arch: str = "fpn_resnet_18", model=None, rng
     model = model or create_model(arch)
     if pretrained_path:
         if pretrained_path.endswith(".pth"):
+            if use_ema:
+                raise ValueError("use_ema applies to Orbax checkpoint "
+                                 "directories, not torch .pth files")
             from sfa3d_tpu.models.port import load_torch_checkpoint
 
             num_layers = int(arch.split("_")[-1])
@@ -56,7 +62,7 @@ def load_variables(pretrained_path, arch: str = "fpn_resnet_18", model=None, rng
         if os.path.isdir(pretrained_path):
             from sfa3d_tpu.runtime.checkpoint import load_params_only
 
-            return load_params_only(pretrained_path)
+            return load_params_only(pretrained_path, use_ema=use_ema)
         raise FileNotFoundError(
             f"checkpoint not found or unrecognized: {pretrained_path} "
             "(expected a torch .pth file or an Orbax checkpoint directory)"

@@ -41,15 +41,36 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Exponential moving average of params (None when EMA is disabled).
+    # Beyond-reference: the reference trains/evaluates raw weights only;
+    # EMA is the standard modern-detector stabilizer (kept as an opt-in,
+    # --ema_decay) and the deliverable weights when enabled.
+    ema_params: Any = None
 
 
-def create_train_state(model, variables, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    model, variables, tx: optax.GradientTransformation, ema: bool = False
+) -> TrainState:
+    params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
+        params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
+        opt_state=tx.init(params),
+        # seeded at the current weights: the first updates then move it
+        # quickly because the ramped decay starts near 0 (see ema_decay_at).
+        # A REAL copy, not an alias — the train step donates its input
+        # state, and aliased params/ema leaves would be donated twice.
+        ema_params=(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                           params) if ema else None),
     )
+
+
+def ema_decay_at(step, decay: float, tau: float = 2000.0):
+    """Ramped EMA decay (ultralytics ModelEMA schedule): d(t) =
+    decay * (1 - exp(-t / tau)). Early steps track the raw weights almost
+    1:1 (no stale-random-init bias); late steps converge to `decay`."""
+    return decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / tau))
 
 
 def _loss_and_updates(model, params, batch_stats, bev, targets):
@@ -63,14 +84,22 @@ def _loss_and_updates(model, params, batch_stats, bev, targets):
     return total, (stats, mutated["batch_stats"])
 
 
-def make_train_step(model, tx: optax.GradientTransformation, mesh=None) -> Callable:
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    ema_decay: float = 0.0,
+    ema_tau: float = 2000.0,
+) -> Callable:
     """Build the jitted train step.
 
     The step takes (state, batch) where batch is a dict:
       bev:     (S, B, H, W, 3) float32  — S gradient-accumulation slices
       targets: dict of (S, B, ...) target tensors
     and returns (new_state, stats). With a mesh, B is sharded over 'data'
-    and state is replicated.
+    and state is replicated. With ema_decay > 0 (state must carry
+    ema_params), the step also advances the parameter EMA in-jit — one
+    fused elementwise pass, negligible next to the backward.
     """
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -104,11 +133,23 @@ def make_train_step(model, tx: optax.GradientTransformation, mesh=None) -> Calla
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         stats = jax.tree_util.tree_map(lambda s: s / n_micro, stats)
+        new_ema = state.ema_params
+        if ema_decay > 0.0:
+            if new_ema is None:
+                raise ValueError(
+                    "ema_decay > 0 requires create_train_state(..., ema=True)"
+                )
+            d = ema_decay_at(state.step + 1, ema_decay, ema_tau)
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e + (1.0 - d) * (p.astype(e.dtype) - e),
+                new_ema, new_params,
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bstats,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         return new_state, stats
 

@@ -32,6 +32,10 @@ def save_checkpoint(checkpoints_dir: str, saved_fn: str, state: TrainState, epoc
         "opt_state": state.opt_state,
         "epoch": np.asarray(epoch, np.int32),
     }
+    if state.ema_params is not None:
+        # EMA weights ride in the same composite checkpoint (the deliverable
+        # weights of an --ema_decay run; restored by --use_ema consumers)
+        payload["ema_params"] = state.ema_params
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     return path
@@ -57,7 +61,15 @@ def prune_checkpoints(checkpoints_dir: str, saved_fn: str, keep_last: int):
 
 def load_checkpoint(path: str, template_state: TrainState, epoch_hint: int = 0):
     """Restore (state, epoch). `template_state` supplies the pytree structure
-    and shardings (reference resume flow, train.py:111-132)."""
+    and shardings (reference resume flow, train.py:111-132).
+
+    EMA compatibility is resolved against the template, both ways:
+    - template wants EMA but the checkpoint predates --ema_decay -> the EMA
+      is re-seeded from the restored raw params (the ramped decay then
+      re-converges it);
+    - template has no EMA but the checkpoint carries one -> the stored EMA
+      is dropped (a run resumed WITHOUT --ema_decay stops tracking it).
+    """
     ckptr = ocp.StandardCheckpointer()
     template = {
         "step": template_state.step,
@@ -66,24 +78,50 @@ def load_checkpoint(path: str, template_state: TrainState, epoch_hint: int = 0):
         "opt_state": template_state.opt_state,
         "epoch": np.asarray(epoch_hint, np.int32),
     }
-    restored = ckptr.restore(os.path.abspath(path), template)
+    want_ema = template_state.ema_params is not None
+    if want_ema:
+        template["ema_params"] = template_state.ema_params
+    try:
+        restored = ckptr.restore(os.path.abspath(path), template)
+    except BaseException:
+        # structure mismatch: toggle the ema_params item and retry (EMA
+        # trees are params-shaped, so the params template stands in)
+        if want_ema:
+            template.pop("ema_params")
+        else:
+            template["ema_params"] = template_state.params
+        restored = ckptr.restore(os.path.abspath(path), template)
+    ema = None
+    if want_ema:
+        ema = restored.get("ema_params", restored["params"])
     state = template_state.replace(
         step=restored["step"],
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
+        ema_params=ema,
     )
     return state, int(restored["epoch"])
 
 
-def load_params_only(path: str) -> dict:
+def load_params_only(path: str, use_ema: bool = False) -> dict:
     """Restore just {'params', 'batch_stats'} from a composite checkpoint
     without needing the optimizer-state template (inference-side loads,
-    e.g. the Detector facade)."""
+    e.g. the Detector facade). With use_ema, the EMA weights saved by an
+    --ema_decay run are returned as the params (BN statistics stay the raw
+    run's running stats — those are already their own moving average)."""
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
+    params = restored["params"]
+    if use_ema:
+        if "ema_params" not in restored:
+            raise ValueError(
+                f"use_ema requested but {path} holds no ema_params "
+                "(was the run trained with --ema_decay?)"
+            )
+        params = restored["ema_params"]
     return {
-        "params": restored["params"],
+        "params": params,
         "batch_stats": restored.get("batch_stats", {}),
     }
 

@@ -258,13 +258,18 @@ def test_maybe_val_ap_runs_eval_on_checkpoint(tmp_path):
         "--dataset_dir", root, "--root-dir", str(tmp_path),
         "--saved_fn", "vap", "--val_ap", "--val_ap_samples", "1",
         "--peak_thresh", "0.0",
+        # EMA on: maybe_val_ap must select the checkpointed EMA weights
+        # (--use_ema flows through the eval CLI -> load_params_only)
+        "--ema_decay", "0.999",
     ])
     assert configs.runtime.val_ap and configs.runtime.val_ap_samples == 1
+    assert configs.optim.ema_decay == 0.999
 
     model = create_model(configs.model.arch)
     variables = init_detector(model, jax.random.PRNGKey(0))  # full 608^2
     tx = create_optimizer(configs.optim, 2, 2)
-    state = replicate(make_mesh(1), create_train_state(model, variables, tx))
+    state = replicate(make_mesh(1),
+                      create_train_state(model, variables, tx, ema=True))
     os.makedirs(configs.checkpoints_dir, exist_ok=True)
     path = save_checkpoint(configs.checkpoints_dir, "vap", state, 1)
 
@@ -314,3 +319,98 @@ def test_resume_continues_schedule_and_optimizer_exactly(tmp_path):
     for a, c in zip(jax.tree_util.tree_leaves(s_b.opt_state),
                     jax.tree_util.tree_leaves(s_cont.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def _np_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), tree)
+
+
+def test_ema_tracks_ramped_recurrence(rng):
+    """The in-jit EMA must equal the hand-computed recurrence
+    e_{t} = e_{t-1} + (1 - d(t)) * (p_t - e_{t-1}) with the ramped decay
+    d(t) = decay * (1 - exp(-t/tau)) (ultralytics ModelEMA schedule),
+    seeded at the init params."""
+    decay, tau = 0.95, 4.0
+    cfg = OptimConfig(lr_type="cosin", ema_decay=decay, ema_tau=tau)
+    tx = create_optimizer(cfg, num_epochs=2, steps_per_epoch=4)
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    state = create_train_state(model, variables, tx, ema=True)
+    step = make_train_step(model, tx, ema_decay=decay, ema_tau=tau)
+
+    expect = _np_tree(state.params)  # EMA seed == init params
+    batch = synthetic_batch(rng, b=2)
+    for t in range(1, 4):
+        state, _ = step(state, batch)
+        d = decay * (1.0 - math.exp(-t / tau))
+        params = _np_tree(state.params)
+        expect = jax.tree_util.tree_map(
+            lambda e, p: e + (1.0 - d) * (p - e), expect, params
+        )
+    got = _np_tree(state.ema_params)
+    for e, g in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(g, e, rtol=2e-5, atol=2e-6)
+    # and the EMA genuinely lags the raw weights (it is not a copy)
+    diffs = [np.abs(a - b).max() for a, b in
+             zip(jax.tree_util.tree_leaves(got),
+                 jax.tree_util.tree_leaves(_np_tree(state.params)))]
+    assert max(diffs) > 1e-5
+
+
+def test_ema_checkpoint_roundtrip_and_legacy_compat(tmp_path, rng):
+    """EMA weights ride the composite checkpoint; restores are compatible
+    both ways with pre-EMA checkpoints (seed-from-params / drop)."""
+    from sfa3d_tpu.runtime.checkpoint import (
+        load_checkpoint, load_params_only, save_checkpoint,
+    )
+
+    cfg = OptimConfig(lr_type="cosin", ema_decay=0.9, ema_tau=2.0)
+    tx = create_optimizer(cfg, num_epochs=2, steps_per_epoch=4)
+    model = create_model("fpn_resnet_18")
+    variables = init_detector(model, jax.random.PRNGKey(0), input_size=(64, 64))
+    state = create_train_state(model, variables, tx, ema=True)
+    step = make_train_step(model, tx, ema_decay=0.9, ema_tau=2.0)
+    batch = synthetic_batch(rng, b=2)
+    for _ in range(3):
+        state, _ = step(state, batch)
+    ema_saved = _np_tree(state.ema_params)
+    path = save_checkpoint(str(tmp_path / "a"), "ema", state, epoch=1)
+
+    # roundtrip: EMA restored bit-exactly
+    fresh = create_train_state(model, init_detector(
+        model, jax.random.PRNGKey(1), input_size=(64, 64)), tx, ema=True)
+    restored, epoch = load_checkpoint(path, fresh)
+    assert epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(ema_saved),
+                    jax.tree_util.tree_leaves(_np_tree(restored.ema_params))):
+        np.testing.assert_array_equal(a, b)
+
+    # inference-side selection: use_ema returns the EMA tree, not the raw
+    got = load_params_only(path, use_ema=True)["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(ema_saved),
+                    jax.tree_util.tree_leaves(_np_tree(got))):
+        np.testing.assert_array_equal(a, b)
+
+    # legacy checkpoint (no EMA) + EMA template -> seeded from raw params
+    # (fresh init: the original `variables` buffers were donated by `step`)
+    variables2 = init_detector(model, jax.random.PRNGKey(2), input_size=(64, 64))
+    plain = create_train_state(model, variables2, tx, ema=False)
+    plain, _ = step_no_ema(model, tx, plain, batch)
+    ppath = save_checkpoint(str(tmp_path / "b"), "plain", plain, epoch=2)
+    restored2, _ = load_checkpoint(ppath, fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(_np_tree(restored2.params)),
+                    jax.tree_util.tree_leaves(_np_tree(restored2.ema_params))):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="no ema_params"):
+        load_params_only(ppath, use_ema=True)
+
+    # EMA checkpoint + non-EMA template -> EMA dropped
+    variables3 = init_detector(model, jax.random.PRNGKey(3), input_size=(64, 64))
+    restored3, _ = load_checkpoint(path, create_train_state(
+        model, variables3, tx, ema=False))
+    assert restored3.ema_params is None
+
+
+def step_no_ema(model, tx, state, batch):
+    return make_train_step(model, tx)(state, batch)
