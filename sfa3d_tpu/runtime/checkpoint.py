@@ -13,6 +13,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -83,17 +84,30 @@ def load_checkpoint(path: str, template_state: TrainState, epoch_hint: int = 0):
         template["ema_params"] = template_state.ema_params
     try:
         restored = ckptr.restore(os.path.abspath(path), template)
-    except BaseException:
+    except Exception as first_err:
         # structure mismatch: toggle the ema_params item and retry (EMA
         # trees are params-shaped, so the params template stands in)
         if want_ema:
             template.pop("ema_params")
         else:
             template["ema_params"] = template_state.params
-        restored = ckptr.restore(os.path.abspath(path), template)
+        try:
+            restored = ckptr.restore(os.path.abspath(path), template)
+        except Exception:
+            # the checkpoint is genuinely unreadable, not an EMA-shape
+            # mismatch: surface the ORIGINAL diagnostic
+            raise first_err from None
     ema = None
     if want_ema:
-        ema = restored.get("ema_params", restored["params"])
+        ema = restored.get("ema_params")
+        if ema is None:
+            # pre-EMA checkpoint + EMA template: seed from the restored raw
+            # params with a REAL copy — the donated train step
+            # (donate_argnums=0) would otherwise donate the aliased
+            # params/ema buffers twice (same hazard as create_train_state)
+            ema = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), restored["params"]
+            )
     state = template_state.replace(
         step=restored["step"],
         params=restored["params"],

@@ -402,6 +402,11 @@ def test_ema_checkpoint_roundtrip_and_legacy_compat(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(_np_tree(restored2.params)),
                     jax.tree_util.tree_leaves(_np_tree(restored2.ema_params))):
         np.testing.assert_array_equal(a, b)
+    # the seeded EMA must be a real COPY: the donated train step would
+    # otherwise donate aliased params/ema buffers twice (advisor r3-high)
+    restored2, _ = step(restored2, batch)
+    assert all(bool(np.isfinite(l).all())
+               for l in jax.tree_util.tree_leaves(_np_tree(restored2.ema_params)))
     with pytest.raises(ValueError, match="no ema_params"):
         load_params_only(ppath, use_ema=True)
 
