@@ -85,6 +85,11 @@ def main():
                          "lands (default: epochs//3 rounded to a checkpoint; "
                          "0 disables the kill)")
     ap.add_argument("--min_final_easy", type=float, default=0.5)
+    ap.add_argument("--range_falloff", type=float, default=0.0,
+                    help="synthetic LiDAR 1/r^2 point-density falloff "
+                         "(full density at this range, meters; 0 = uniform "
+                         "density). >0 makes far objects genuinely sparser, "
+                         "so the Easy/Moderate/Hard buckets discriminate")
     ap.add_argument("--data_seed", type=int, default=0,
                     help="seed for the synthetic scene population — a "
                          "different seed replicates the experiment on a "
@@ -131,6 +136,7 @@ def main():
               f"{args.frames_val} HELD-OUT val) under {root}")
         write_mini_kitti(
             root, n_frames=n, seed=args.data_seed, cameras=False,
+            range_falloff=args.range_falloff,
             splits={"train": range(args.frames_train),
                     "val": range(args.frames_train, n),
                     "test": range(args.frames_train, n)},
@@ -241,6 +247,8 @@ def main():
             "effective_batch": args.effective_batch,
             "lr": args.lr, "lr_type": "cosin",
             "ema_decay": args.ema_decay or None,
+            "range_falloff": args.range_falloff or None,
+            "data_seed": args.data_seed,
             "augmentation": "ON (reference defaults: OneOf(rotation, scaling) p=0.66 + hflip)",
             "dtype": args.dtype,
         },

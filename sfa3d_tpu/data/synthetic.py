@@ -60,12 +60,21 @@ def synthetic_scene(
     n_clutter: int = 6000,
     n_objects: int = 12,
     points_per_object: int = 800,
+    range_falloff: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     # Defaults sized so the front-range filter keeps ~25-30k points —
     # matching real KITTI scans (raw ~120k, in-range 15-25k) and fitting the
     # MAX_POINTS_FILTERED padding budget without silent truncation.
     """Returns (points (N,4) float32 velodyne, labels (M,8) float32 rows
-    [cls, x, y, z, h, w, l, yaw(velodyne rz)])."""
+    [cls, x, y, z, h, w, l, yaw(velodyne rz)]).
+
+    range_falloff > 0 scales each object's point count by the LiDAR
+    1/r^2 return density, full density at r = range_falloff meters
+    (floor 64 points) — far objects then carry genuinely fewer returns,
+    so the KITTI Easy/Moderate/Hard buckets discriminate on this data.
+    OFF by default: enabling it changes the rng call sequence, and the
+    default scenes are pinned byte-for-byte by seeds recorded in
+    parity/bench artifacts."""
     rng = np.random.default_rng(seed)
 
     ground = np.empty((n_ground, 4), np.float32)
@@ -99,8 +108,13 @@ def synthetic_scene(
         y = rng.uniform(-20, 20)
         z = -1.73
         yaw = rng.uniform(-np.pi, np.pi)
+        m = points_per_object
+        if range_falloff > 0.0:
+            r = float(np.hypot(x, y))
+            m = max(64, int(points_per_object
+                            * min(1.0, (range_falloff / r) ** 2)))
         obj_points.append(
-            _box_surface_points(rng, h, w, l, x, y, z, yaw, points_per_object)
+            _box_surface_points(rng, h, w, l, x, y, z, yaw, m)
         )
         # label yaw convention: build_targets negates (kitti_dataset.py:181),
         # so store -yaw to make the heatmap target yaw equal `yaw`.
@@ -164,13 +178,75 @@ def render_camera_image(points: np.ndarray, labels: np.ndarray,
     return img
 
 
+def annotate_labels_camera(labels: np.ndarray, P: np.ndarray,
+                           hw: Tuple[int, int] = (375, 1242),
+                           grid: int = 4):
+    """Derive the KITTI annotation fields the difficulty rules read
+    (kitti_data_utils.py:54-68) from the scene geometry, per labeled box:
+
+    - 2D bbox: the image-clipped bounds of the projected 3D corners (its
+      height drives the Easy>=40px / Moderate,Hard>=25px rule);
+    - truncation: the fraction of the full projected bbox clipped away by
+      the image boundary (KITTI's "leaving image boundaries" fraction);
+    - occlusion: 0/1/2 from the fraction of the box's image footprint
+      covered by NEARER boxes, measured on a `grid`-px occupancy raster
+      painted near-to-far (matches render_camera_image's painter order);
+    - alpha: the observation angle ry - atan2(x_cam, z_cam).
+
+    Returns a list of dicts {alpha, bbox (4,), truncation, occlusion};
+    boxes fully outside the image get truncation 1.0 (level 4 territory).
+    """
+    from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
+    from sfa3d_tpu.viz.draw import compute_box_3d, project_to_image
+
+    h_img, w_img = hw
+    P = np.asarray(P, np.float64).reshape(3, 4)
+    cam = np.asarray(lidar_to_camera_box(labels[:, 1:8].astype(np.float64)))
+    gh, gw = (h_img + grid - 1) // grid, (w_img + grid - 1) // grid
+    occupied = np.zeros((gh, gw), bool)
+
+    out = [None] * len(cam)
+    # near-to-far: each box's occlusion reads only NEARER boxes' footprint
+    for j in np.argsort(cam[:, 2]):
+        x, y, z, bh, bw, bl, ry = cam[j]
+        corners = compute_box_3d((bh, bw, bl), (x, y, z), ry)
+        alpha = float(ry - np.arctan2(x, z))
+        if (corners[:, 2] <= 0.1).any():
+            # clipped by the image plane: no stable projection
+            out[j] = dict(alpha=alpha, bbox=np.zeros(4), truncation=1.0,
+                          occlusion=0)
+            continue
+        uv = project_to_image(corners, P)
+        x1f, y1f = uv[:, 0].min(), uv[:, 1].min()
+        x2f, y2f = uv[:, 0].max(), uv[:, 1].max()
+        x1, y1 = max(x1f, 0.0), max(y1f, 0.0)
+        x2, y2 = min(x2f, w_img - 1.0), min(y2f, h_img - 1.0)
+        full = (x2f - x1f) * (y2f - y1f)
+        vis = max(x2 - x1, 0.0) * max(y2 - y1, 0.0)
+        trunc = float(1.0 - vis / full) if full > 0 else 1.0
+        if vis <= 0.0:
+            out[j] = dict(alpha=alpha, bbox=np.zeros(4), truncation=1.0,
+                          occlusion=0)
+            continue
+        gx1, gy1 = int(x1) // grid, int(y1) // grid
+        gx2, gy2 = int(x2) // grid + 1, int(y2) // grid + 1
+        cells = occupied[gy1:gy2, gx1:gx2]
+        occ_frac = float(cells.mean()) if cells.size else 0.0
+        occlusion = 0 if occ_frac < 0.15 else (1 if occ_frac < 0.5 else 2)
+        cells[:] = True  # paint for the boxes behind this one
+        out[j] = dict(alpha=alpha, bbox=np.array([x1, y1, x2, y2]),
+                      truncation=trunc, occlusion=occlusion)
+    return out
+
+
 # KITTI color-pair stereo baseline (m); P3 tx = P2 tx - fx * baseline
 STEREO_BASELINE_M = 0.54
 
 
 def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
                      splits=("train", "val", "test"),
-                     cameras: bool = True) -> str:
+                     cameras: bool = True,
+                     range_falloff: float = 0.0) -> str:
     """Materialize a tiny KITTI-layout dataset on disk from synthetic scenes
     (velodyne .bin + calib .txt + label_2 .txt + rendered image_2/image_3
     .png stereo camera frames + ImageSets), so the full dataset/loader/
@@ -217,7 +293,10 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
 
     for sub in ("training", "testing"):
         for i in range(n_frames):
-            points, labels = synthetic_scene(seed=seed + i + (1000 if sub == "testing" else 0))
+            points, labels = synthetic_scene(
+                seed=seed + i + (1000 if sub == "testing" else 0),
+                range_falloff=range_falloff,
+            )
             points.tofile(os.path.join(root, sub, "velodyne", f"{i:06d}.bin"))
             with open(os.path.join(root, sub, "calib", f"{i:06d}.txt"), "w") as f:
                 f.write(calib_txt)
@@ -228,12 +307,20 @@ def write_mini_kitti(root: str, n_frames: int = 4, seed: int = 0,
                         render_camera_image(points, labels, P),
                     )
             if sub == "training":
+                # genuine annotation fields (projected bbox / truncation /
+                # occlusion / alpha): the KITTI difficulty rules then bucket
+                # these labels non-degenerately (near+visible -> Easy, far/
+                # clipped/covered -> Moderate/Hard/unknown)
+                anns = annotate_labels_camera(labels, P2)
                 with open(os.path.join(root, sub, "label_2", f"{i:06d}.txt"), "w") as f:
                     cam = np.asarray(lidar_to_camera_box(labels[:, 1:]))
-                    for row, c in zip(cam, labels[:, 0].astype(int)):
+                    for row, c, ann in zip(cam, labels[:, 0].astype(int), anns):
                         x, y, z, h, w, l, ry = row
+                        bx1, by1, bx2, by2 = ann["bbox"]
                         f.write(
-                            f"{names[int(c)]} 0.0 0 0.0 0 0 50 50 "
+                            f"{names[int(c)]} {ann['truncation']:.2f} "
+                            f"{ann['occlusion']} {ann['alpha']:.2f} "
+                            f"{bx1:.2f} {by1:.2f} {bx2:.2f} {by2:.2f} "
                             f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}\n"
                         )
     if isinstance(splits, dict):

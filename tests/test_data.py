@@ -191,3 +191,87 @@ def test_synthetic_objects_are_yaw_identifiable():
         )
         checked += 1
     assert checked >= 5, f"only {checked} objects checked"
+
+
+def test_annotate_labels_camera_oracle():
+    """Hand-constructed scene with known projective geometry: a near
+    centered car must come out Easy (big bbox, no truncation/occlusion), a
+    car directly behind it fully covered -> occlusion 2, and a car
+    straddling the image edge -> truncated. Bbox heights must match the
+    pinhole prediction fx * h / depth."""
+    from sfa3d_tpu.config import kitti as cnf
+    from sfa3d_tpu.data.synthetic import annotate_labels_camera
+
+    P2 = np.asarray(cnf.P2[:3], np.float64).reshape(3, 4)
+    fx = P2[0, 0]
+    h_car = 1.52
+    # velodyne rows [cls, x, y, z_bottom, h, w, l, yaw]; yaw 0
+    labels = np.array(
+        [
+            [1, 10.0, 0.0, -1.73, h_car, 1.63, 3.88, 0.0],   # A: near, centered
+            [1, 30.0, 0.0, -1.73, h_car, 1.63, 3.88, 0.0],   # B: dead behind A
+            [1, 10.0, -9.0, -1.73, h_car, 1.63, 3.88, 0.0],  # C: at right edge
+        ],
+        np.float32,
+    )
+    anns = annotate_labels_camera(labels, P2)
+
+    a, b, c = anns
+    # A: fully visible, nothing nearer -> Easy by every rule
+    assert a["truncation"] < 0.01 and a["occlusion"] == 0
+    ha = a["bbox"][3] - a["bbox"][1]
+    # pinhole bounds: the box spans depths z +- l/2 (~7.8..11.7 m), so the
+    # bbox height lies between fx*h/z_far (all-far) and fx*(h+eps)/z_near
+    # where eps absorbs the near-bottom/far-top skew (<= cam-height h_cam
+    # spread: 1.73 * l/ (z^2) * fx ~ 11 px)
+    assert fx * h_car / 11.7 < ha < fx * h_car / 7.8 + 12
+    assert ha >= 40  # Easy 2D-height rule territory at 10 m
+    # B: its image footprint lies inside A's (same bearing, 3x depth,
+    # nearer box is 3x larger) -> fully covered -> occlusion 2
+    assert b["occlusion"] == 2 and b["truncation"] < 0.01
+    hb = b["bbox"][3] - b["bbox"][1]
+    assert hb < ha / 2.5  # ~3x farther -> ~3x smaller
+    # C: y=-9 m at 10 m depth projects ~ fx*9/10 = 648 px right of center
+    # (cx=608): the box straddles the right edge -> truncated, not occluded
+    assert c["truncation"] > 0.15 and c["occlusion"] == 0
+    assert c["bbox"][2] >= 1241.0  # clipped at the image boundary
+
+    # the written KITTI rows then bucket non-trivially via Object3d
+    def level(ann, row):
+        from sfa3d_tpu.geometry.transforms import lidar_to_camera_box
+        cam = np.asarray(lidar_to_camera_box(row[None, 1:8]))[0]
+        x, y, z, h, w, l, ry = cam
+        x1, y1, x2, y2 = ann["bbox"]
+        line = (f"Car {ann['truncation']:.2f} {ann['occlusion']} "
+                f"{ann['alpha']:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}")
+        return Object3d(line).level
+
+    assert level(a, labels[0]) == 1          # Easy
+    assert level(b, labels[1]) == 3          # occ 2 -> Hard (height ~36 ok)
+    assert level(c, labels[2]) >= 2          # truncated -> not Easy
+
+
+def test_mini_kitti_difficulty_nondegenerate(tmp_path):
+    """The on-disk fixture must exercise ALL the difficulty plumbing: the
+    written truncation/occlusion/bbox fields parse back into a non-constant
+    Easy/Moderate/Hard level distribution (round-3 verdict: every recorded
+    eval had Easy == Moderate == Hard because the fixture wrote constant
+    annotation fields)."""
+    from sfa3d_tpu.data.kitti import read_label
+
+    root = write_mini_kitti(str(tmp_path / "k"), n_frames=6, cameras=False,
+                            range_falloff=20.0)
+    levels = []
+    heights = []
+    for i in range(6):
+        for o in read_label(f"{root}/training/label_2/{i:06d}.txt"):
+            levels.append(o.level)
+            heights.append(o.box2d[3] - o.box2d[1])
+    levels = np.asarray(levels)
+    assert len(levels) >= 60
+    # Easy present AND at least two harder/unknown levels present
+    assert (levels == 1).sum() >= 5, levels
+    assert len(set(levels.tolist())) >= 3, set(levels.tolist())
+    # bbox heights vary with range (not the old constant 50-px stub)
+    assert np.std(heights) > 10.0
