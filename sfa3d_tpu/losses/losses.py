@@ -10,8 +10,10 @@ Behavior parity with reference losses/losses.py:
 - `compute_loss`    <-> `Compute_Loss` (:128-163): clamped sigmoid on
   hm/offset, all term weights 1.0, returns (total, per-term stats dict).
 
-Layouts are NHWC / (B, K, D) slot arrays; all math in float32. The
-`num_pos == 0` branch is a `jnp.where`, so the whole thing stays jittable.
+Layouts are NHWC / (B, K, D) slot arrays; all math in AT LEAST float32
+(bf16 model outputs upcast; float64 numerics-audit inputs stay f64 — see
+scripts/spatial_parity_check.py). The `num_pos == 0` branch is a
+`jnp.where`, so the whole thing stays jittable.
 """
 
 from __future__ import annotations
@@ -26,13 +28,17 @@ from sfa3d_tpu.models import clamped_sigmoid
 from sfa3d_tpu.ops.decode import _gather_feat
 
 
+def _at_least_f32(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def focal_loss(pred: jax.Array, gt: jax.Array, alpha: int = 2, beta: int = 4) -> jax.Array:
     """CornerNet focal loss. `pred` in (0,1) (already sigmoided+clamped),
     `gt` the Gaussian heatmap; shapes (B, H, W, C)."""
-    pred = pred.astype(jnp.float32)
-    gt = gt.astype(jnp.float32)
-    pos = (gt == 1.0).astype(jnp.float32)
-    neg = (gt < 1.0).astype(jnp.float32)
+    pred = _at_least_f32(pred)
+    gt = _at_least_f32(gt)
+    pos = (gt == 1.0).astype(gt.dtype)
+    neg = (gt < 1.0).astype(gt.dtype)
     neg_weights = jnp.power(1.0 - gt, beta)
 
     pos_loss = jnp.log(pred) * jnp.power(1.0 - pred, alpha) * pos
@@ -59,9 +65,9 @@ def gather_slots(output: jax.Array, indices: jax.Array) -> jax.Array:
 
 def masked_l1_loss(output, obj_mask, indices, target) -> jax.Array:
     """L1 over gathered object slots (losses.py:83-92)."""
-    pred = gather_slots(output.astype(jnp.float32), indices)
-    mask = jnp.broadcast_to(obj_mask[..., None].astype(jnp.float32), pred.shape)
-    loss = jnp.sum(jnp.abs(pred * mask - target.astype(jnp.float32) * mask))
+    pred = gather_slots(_at_least_f32(output), indices)
+    mask = jnp.broadcast_to(obj_mask[..., None].astype(pred.dtype), pred.shape)
+    loss = jnp.sum(jnp.abs(pred * mask - target.astype(pred.dtype) * mask))
     return loss / (jnp.sum(mask) + 1e-4)
 
 
@@ -70,9 +76,9 @@ def balanced_l1_loss(
     alpha: float = 0.5, gamma: float = 1.5, beta: float = 1.0,
 ) -> jax.Array:
     """Libra R-CNN balanced L1 over gathered slots (losses.py:95-125)."""
-    pred = gather_slots(output.astype(jnp.float32), indices)
-    mask = jnp.broadcast_to(obj_mask[..., None].astype(jnp.float32), pred.shape)
-    diff = jnp.abs(pred * mask - target.astype(jnp.float32) * mask)
+    pred = gather_slots(_at_least_f32(output), indices)
+    mask = jnp.broadcast_to(obj_mask[..., None].astype(pred.dtype), pred.shape)
+    diff = jnp.abs(pred * mask - target.astype(pred.dtype) * mask)
     b = math.exp(gamma / alpha) - 1.0
     loss = jnp.where(
         diff < beta,

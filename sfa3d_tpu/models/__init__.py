@@ -78,5 +78,7 @@ def get_num_parameters(params) -> int:
 
 def clamped_sigmoid(x):
     """sigmoid clamped to [1e-4, 1 - 1e-4] (utils/torch_utils.py:44-45),
-    computed in float32."""
-    return jnp.clip(jax.nn.sigmoid(x.astype(jnp.float32)), 1e-4, 1.0 - 1e-4)
+    computed in AT LEAST float32 (bf16 inputs upcast; f64 numerics-audit
+    inputs stay f64 — see scripts/spatial_parity_check.py)."""
+    dt = jnp.promote_types(x.dtype, jnp.float32)
+    return jnp.clip(jax.nn.sigmoid(x.astype(dt)), 1e-4, 1.0 - 1e-4)

@@ -308,8 +308,10 @@ def convert_variables_to_s2d(variables):
 
 def apply_kfpn(outs):
     """Softmax over pyramid levels, weighted sum (fpn_resnet.py:248-254).
-    Done in float32 for bf16 safety. Returns (fused, weights)."""
-    stacked = jnp.stack(outs, axis=-1).astype(jnp.float32)  # (B,H,W,C,L)
+    Done in AT LEAST float32 (bf16 safety; f64 audit inputs stay f64).
+    Returns (fused, weights)."""
+    dt = jnp.promote_types(outs[0].dtype, jnp.float32)
+    stacked = jnp.stack(outs, axis=-1).astype(dt)  # (B,H,W,C,L)
     weights = jax.nn.softmax(stacked, axis=-1)
     fused = jnp.sum(stacked * weights, axis=-1)
     return fused.astype(outs[0].dtype), weights

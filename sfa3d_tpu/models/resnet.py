@@ -86,7 +86,11 @@ class ConvBN(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
-            dtype=jnp.float32,
+            # at LEAST float32: bf16 activations get f32 statistics (the
+            # TPU-safety pin); float64 numerics-audit inputs keep f64 so
+            # sharded-vs-unsharded parity is provable at f64 resolution
+            # (scripts/spatial_parity_check.py)
+            dtype=jnp.promote_types(jnp.float32, self.dtype),
             name="bn",
         )(x)
         return x

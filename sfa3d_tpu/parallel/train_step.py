@@ -118,8 +118,11 @@ def make_train_step(
         bev = batch["bev"]
         targets = batch["targets"]
         n_micro = bev.shape[0]
+        # stats are computed in at-least-f32 (losses.py _at_least_f32); the
+        # scan carry must match (f64 in the numerics-audit mode)
+        stat_dt = jnp.promote_types(bev.dtype, jnp.float32)
         init_stats = {
-            k: jnp.zeros((), jnp.float32)
+            k: jnp.zeros((), stat_dt)
             for k in (
                 "total_loss", "hm_cen_loss", "cen_offset_loss",
                 "dim_loss", "direction_loss", "z_coor_loss",
@@ -158,6 +161,18 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     if SPATIAL_AXIS in mesh.axis_names:
+        # Shardy-partitioner correctness bug (jax 0.9.0, default
+        # jax_use_shardy_partitioner=True): under a spatial-sharded batch,
+        # the backward of a stride-2 conv+BatchNorm block whose feature map
+        # is smaller than the shard count (the backbone's layer4 at 608^2 /
+        # 32) produces kernel gradients EXACTLY 2x the correct value
+        # (isolated repro + f64 proof: scripts/spatial_parity_check.py;
+        # classic GSPMD is exact to 1e-13). Force the classic partitioner
+        # before this step is first traced. Process-global by necessity —
+        # the flag is read at lowering time; classic GSPMD was the default
+        # partitioner before Shardy and is safe for every other jit here.
+        if jax.config.jax_use_shardy_partitioner:
+            jax.config.update("jax_use_shardy_partitioner", False)
         # combined data + spatial parallelism: batch over 'data', BEV rows
         # over 'spatial' (XLA inserts conv halo exchanges); the flat target
         # tensors only shard the batch axis.

@@ -12,6 +12,40 @@ from sfa3d_tpu.data.loader import EpochSampler, create_train_loader
 from sfa3d_tpu.parallel import maybe_init_distributed
 
 
+def test_spatial_mesh_step_matches_unsharded_step():
+    """dp x sp (make_mesh_2d) NUMERICAL correctness, not just liveness: one
+    train step with the BEV rows sharded over 'spatial' (XLA SPMD conv halo
+    exchange) and the batch over 'data' must produce the SAME loss and the
+    same parameter update as the completely unsharded step on identical
+    init + data (claim under test: parallel/train_step.py dp x sp branch,
+    PARITY.md section 2.8).
+
+    Runs scripts/spatial_parity_check.py in a SUBPROCESS: the proof needs
+    float64 (in f32, sharded reduction reassociation flips ReLU kinks and
+    chaos-amplifies to percent-level update differences that would mask a
+    real bug), and x64 mode is process-global. The script is also the
+    regression pin for the jax-0.9.0 Shardy partitioner bug (spatial-sharded
+    stride-2 conv+BN backward double-counts kernel grads, EXACTLY 2x) that
+    make_train_step works around by forcing classic GSPMD."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the script sets its own device count
+    out = subprocess.run(
+        [sys.executable, "scripts/spatial_parity_check.py"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=1700,
+    )
+    assert out.returncode == 0, f"stderr tail: {out.stderr[-2000:]}"
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["ok"] is True
+    assert report["dpsp_worst_update_rel"] <= 1e-9
+    assert report["dp_worst_update_rel"] <= 1e-9
+
+
 def test_distributed_gate_off_by_default(monkeypatch):
     monkeypatch.delenv("SFA3D_DIST", raising=False)
     assert maybe_init_distributed() is False
