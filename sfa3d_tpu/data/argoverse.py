@@ -326,7 +326,31 @@ def write_mini_argoverse(root: str, n_frames: int = 2, seed: int = 0) -> str:
                         "translation": [1.6, 0.0, 1.4],
                     },
                 },
+            },
+        ]
+        # rectified stereo pair (exercises geometry.argoverse_calib.
+        # load_stereo_calib, parity with ref_calib.py:229-257): same optical
+        # frame as the front camera, separated by the nominal ~0.3 m
+        # Argoverse stereo baseline along ego -y (left camera on +y)
+        + [
+            {
+                "key": f"image_raw_{name}",
+                "value": {
+                    "focal_length_x_px_": 3660.0,
+                    "focal_length_y_px_": 3660.0,
+                    "focal_center_x_px_": 1232.0,
+                    "focal_center_y_px_": 1028.0,
+                    "skew_": 0.0,
+                    "vehicle_SE3_camera_": {
+                        "rotation": {"coefficients": [0.5, -0.5, 0.5, -0.5]},
+                        "translation": [1.6, ty, 1.4],
+                    },
+                },
             }
+            for name, ty in [
+                ("stereo_front_left_rect", 0.1493),
+                ("stereo_front_right_rect", -0.1493),
+            ]
         ],
         "lidar_data": [
             {

@@ -40,7 +40,23 @@ DEFAULT_DISTORTION = np.array(
     [-0.16983475865148748, 0.1189081299929571, -0.02488434834889849]
 )
 
+# Camera inventories (reference corrected_calib.py:12-18 CAMERA_LIST /
+# RECTIFIED_STEREO_CAMERA_LIST — the ref hardcodes placeholder names with a
+# "You MUST populate these" comment; these are the real Argoverse v1
+# argoverse-api camera_stats names its ref_calib.py:14 imports).
+RING_CAMERA_LIST = [
+    "ring_front_center", "ring_front_left", "ring_front_right",
+    "ring_rear_left", "ring_rear_right", "ring_side_left", "ring_side_right",
+]
+STEREO_CAMERA_LIST = ["stereo_front_left", "stereo_front_right"]
+RECTIFIED_STEREO_CAMERA_LIST = [
+    "stereo_front_left_rect", "stereo_front_right_rect",
+]
+CAMERA_LIST = RING_CAMERA_LIST + STEREO_CAMERA_LIST
+
 CAMERA_DIMS = {
+    # 'stereo' must precede 'front': stereo camera names contain 'front'
+    "stereo": (2464, 2056),  # argoverse-api STEREO_IMG_WIDTH/HEIGHT
     # argoverse_data_utils_copy.py:84-94 hardcoded dims
     "front": (1920, 1200),
     "side": (1280, 960),
@@ -111,10 +127,14 @@ def get_calibration_config(calib_data: Dict[str, Any], camera_name: str) -> Came
 
 class ArgoverseCalibration:
     """Per-log calibration with lidar->camera chaining
-    (argoverse_data_utils_copy.py:97-231)."""
+    (argoverse_data_utils_copy.py:97-231). `calib_data` skips the JSON
+    re-read when constructing calibrations for many cameras of one log
+    (load_all_camera_calibs / load_stereo_calib)."""
 
-    def __init__(self, calib_filepath: str, target_camera: str = "ring_front_center"):
-        self.calib_data = load_calib(calib_filepath)
+    def __init__(self, calib_filepath: str,
+                 target_camera: str = "ring_front_center",
+                 calib_data: Optional[Dict[str, Any]] = None):
+        self.calib_data = calib_data if calib_data is not None else load_calib(calib_filepath)
         self.target_camera = target_camera
         self.camera_config = get_calibration_config(self.calib_data, target_camera)
         self.P2 = self.camera_config.intrinsic
@@ -163,6 +183,47 @@ class ArgoverseCalibration:
         ego_T_cam = np.linalg.inv(self.camera_config.extrinsic)
         hom = np.hstack([cam, np.ones((len(cam), 1))])
         return (hom @ ego_T_cam.T)[:, :3]
+
+
+def load_all_camera_calibs(
+    calib_filepath: str, cameras=tuple(CAMERA_LIST)
+) -> Dict[str, ArgoverseCalibration]:
+    """Calibration objects for every camera present in the log's JSON
+    (ref_calib.py:202-226 load_calib, corrected_calib.py:317-331): cameras
+    missing from `camera_data` are skipped, mirroring the reference's
+    `continue` on a missing `image_raw_<camera>` key."""
+    calib_data = load_calib(calib_filepath)
+    out: Dict[str, ArgoverseCalibration] = {}
+    for camera in cameras:
+        try:
+            out[camera] = ArgoverseCalibration(
+                calib_filepath, camera, calib_data=calib_data
+            )
+        except ValueError:
+            continue
+    return out
+
+
+def load_stereo_calib(
+    calib_filepath: str, cameras=tuple(RECTIFIED_STEREO_CAMERA_LIST)
+) -> Dict[str, ArgoverseCalibration]:
+    """Calibration objects for the rectified stereo pair
+    (ref_calib.py:229-257 load_stereo_calib, corrected_calib.py:334-349):
+    same per-camera construction as load_all_camera_calibs over the
+    RECTIFIED_STEREO_CAMERA_LIST, skipping cameras absent from the JSON."""
+    return load_all_camera_calibs(calib_filepath, cameras)
+
+
+def stereo_baseline_m(
+    left: ArgoverseCalibration, right: ArgoverseCalibration
+) -> float:
+    """Metric baseline of a stereo pair: the distance between the two
+    camera centers in the ego frame (translations of ego_T_cam, i.e. of
+    inv(extrinsic)). For a rectified pair this is the `b` of the disparity
+    relation d = fx * b / z (slam/stereo.py consumes it)."""
+    t_l = np.linalg.inv(left.camera_config.extrinsic)[:3, 3]
+    t_r = np.linalg.inv(right.camera_config.extrinsic)[:3, 3]
+    return float(np.linalg.norm(t_l - t_r))
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,55 @@ def test_calibration_loading(mini_argo):
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
 
 
+def test_load_stereo_calib(mini_argo):
+    """Rectified-stereo-pair loader (parity: ref_calib.py:229-257,
+    corrected_calib.py:334-349): both stereo cameras load with stereo image
+    dims, absent cameras are skipped (not an error), the recovered baseline
+    matches the fixture's ~0.3 m, and a far point projects with the
+    rectified disparity d = fx * b / z."""
+    import json
+
+    from sfa3d_tpu.geometry.argoverse_calib import (
+        load_all_camera_calibs,
+        load_stereo_calib,
+        stereo_baseline_m,
+    )
+
+    path = os.path.join(mini_argo, "vehicle_calibration_info.json")
+    stereo = load_stereo_calib(path)
+    assert sorted(stereo) == ["stereo_front_left_rect", "stereo_front_right_rect"]
+    left = stereo["stereo_front_left_rect"]
+    right = stereo["stereo_front_right_rect"]
+    assert (left.camera_config.img_width, left.camera_config.img_height) == (2464, 2056)
+
+    b = stereo_baseline_m(left, right)
+    assert b == pytest.approx(0.2986, abs=1e-6)
+
+    # rectified disparity check: ego point 30 m ahead
+    pt = np.array([[30.0, 0.0, 1.0]])
+    (uv_l, _), (uv_r, _) = left.project_ego_to_image(pt), right.project_ego_to_image(pt)
+    fx = left.camera_config.intrinsic[0, 0]
+    # depth in the camera frame = distance along ego x minus camera x offset
+    z = 30.0 - 1.6
+    assert uv_l[0, 0] - uv_r[0, 0] == pytest.approx(fx * b / z, rel=1e-9)
+    assert uv_l[0, 1] == pytest.approx(uv_r[0, 1], abs=1e-9)  # rectified rows
+
+    # the all-camera loader skips cameras the JSON does not carry — the
+    # fixture has only front_center + stereo pair; no ValueError surfaces
+    all_cams = load_all_camera_calibs(path)
+    assert "ring_front_center" in all_cams
+    assert "ring_side_left" not in all_cams
+
+    # a JSON with no stereo entries yields an empty dict (reference
+    # behavior: `continue` on missing keys)
+    data = json.load(open(path))
+    data["camera_data"] = [c for c in data["camera_data"] if "stereo" not in c["key"]]
+    nostereo = os.path.join(mini_argo, "calib_nostereo.json")
+    with open(nostereo, "w") as f:
+        json.dump(data, f)
+    assert load_stereo_calib(nostereo) == {}
+
+
 def test_projection_geometry(mini_argo):
     """A point straight ahead of the ego vehicle must project near the
     principal point; points behind the camera are NaN-masked."""
