@@ -1,0 +1,233 @@
+"""Measure the fusion AP benefit on held-out scenes — the reference's core
+claim, quantified.
+
+The reference attributes a 3D-AP gain to camera-LiDAR fusion
+(/root/reference/README.md:223-226: 88.61 -> 92.15 Easy with Bayesian
+fusion) but ships no measurement code. This harness produces that number
+for THIS framework: 3D AP of the trained LiDAR detector alone vs the same
+detections with camera-confirmed late-fusion rescoring
+(fusion.fuse.rescore_3d_from_camera — matched detections take the fusion
+confidence rule max(conf_3d, conf_2d), the test5/test6 rule).
+
+Camera detections: a CALIBRATED ORACLE built from the ground truth — each
+GT box's image projection (the same occlusion-aware projective annotation
+the fixture writes) jittered in position/size, assigned a confidence drawn
+around --oracle_conf, dropped with --oracle_miss probability, plus
+--oracle_fp random false-positive boxes per frame at lower confidence. The
+repo's JAX YOLOv8 is untrained (no weights ship in this environment), so an
+oracle with an honest error model is the controlled stand-in; its
+parameters are recorded in the artifact. The oracle carries real information
+the LiDAR detector lacks (which detections correspond to real objects), the
+same information a trained camera detector would contribute.
+
+Run (after a generalize_check training run, reusing its held-out scenes):
+  python scripts/fusion_check.py \
+      --dataset_dir /tmp/generalize_*/kitti \
+      --pretrained_path /tmp/generalize_*/checkpoints/gen/Model_gen_epoch_N \
+      --use_ema --out FUSION_CHECK.json
+CPU smoke: add --cpu --num_samples 4 --smoke
+"""
+
+import argparse
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def build_camera_oracle(labels, P2, rng, conf=0.85, conf_sigma=0.05,
+                        miss_prob=0.1, n_fp=2, jitter=0.05,
+                        hw=(375, 1242), k_slots=16):
+    """GT velodyne label rows -> a noisy fixed-K image-plane DetectionSet.
+
+    Uses the fixture's occlusion-aware projective annotation
+    (data.synthetic.annotate_labels_camera) for the true boxes, then applies
+    the error model: per-box center/size jitter ~ N(0, jitter * size),
+    confidence ~ N(conf, conf_sigma) clipped to [0.05, 0.999], box dropped
+    (camera miss) with miss_prob, plus n_fp uniform false positives at
+    confidence ~ U(0.2, 0.5)."""
+    import numpy as np
+
+    from sfa3d_tpu.data.synthetic import annotate_labels_camera
+
+    h_img, w_img = hw
+    boxes, scores, classes = [], [], []
+    anns = annotate_labels_camera(labels, P2, hw=hw)
+    for row, ann in zip(labels, anns):
+        if ann["truncation"] >= 0.9:
+            continue  # effectively invisible to the camera
+        if rng.uniform() < miss_prob:
+            continue
+        x1, y1, x2, y2 = ann["bbox"]
+        w, h = x2 - x1, y2 - y1
+        if w <= 2 or h <= 2:
+            continue
+        cx = (x1 + x2) / 2 + rng.normal(0, jitter * w)
+        cy = (y1 + y2) / 2 + rng.normal(0, jitter * h)
+        w = w * (1 + rng.normal(0, jitter))
+        h = h * (1 + rng.normal(0, jitter))
+        boxes.append([cx - w / 2, cy - h / 2, w, h])
+        scores.append(float(np.clip(rng.normal(conf, conf_sigma), 0.05, 0.999)))
+        classes.append(int(row[0]))
+    for _ in range(n_fp):
+        w = rng.uniform(20, 120)
+        h = rng.uniform(20, 80)
+        boxes.append([rng.uniform(0, w_img - w), rng.uniform(0, h_img - h), w, h])
+        scores.append(float(rng.uniform(0.2, 0.5)))
+        classes.append(int(rng.integers(0, 3)))
+
+    out_boxes = np.zeros((k_slots, 4), np.float32)
+    out_scores = np.zeros((k_slots,), np.float32)
+    out_classes = np.zeros((k_slots,), np.int32)
+    out_valid = np.zeros((k_slots,), bool)
+    n = min(len(boxes), k_slots)
+    if n:
+        out_boxes[:n] = np.asarray(boxes, np.float32)[:n]
+        out_scores[:n] = np.asarray(scores, np.float32)[:n]
+        out_classes[:n] = np.asarray(classes, np.int32)[:n]
+        out_valid[:n] = True
+    return out_boxes, out_scores, out_classes, out_valid
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset_dir", required=True)
+    ap.add_argument("--pretrained_path", required=True)
+    ap.add_argument("--arch", default="fpn_resnet_18")
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--num_samples", type=int, default=None)
+    ap.add_argument("--K", type=int, default=50)
+    ap.add_argument("--peak_thresh", type=float, default=0.2)
+    ap.add_argument("--fusion_iou", type=float, default=0.5,
+                    help="2D IoU for camera<->projected-3D matching "
+                         "(projection AABBs are looser than box-to-box IoU, "
+                         "so this sits below the box-fusion 0.7)")
+    ap.add_argument("--use_ema", action="store_true")
+    ap.add_argument("--oracle_conf", type=float, default=0.85)
+    ap.add_argument("--oracle_miss", type=float, default=0.1)
+    ap.add_argument("--oracle_fp", type=int, default=2)
+    ap.add_argument("--oracle_jitter", type=float, default=0.05)
+    ap.add_argument("--oracle_seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="plumbing-only: report but do not enforce the gate")
+    ap.add_argument("--out", default=os.path.join(_ROOT, "FUSION_CHECK.json"))
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from sfa3d_tpu.data.kitti import KittiDataset
+    from sfa3d_tpu.eval import evaluate_kitti_ap, evaluate_kitti_ap_by_difficulty
+    from sfa3d_tpu.fusion.boxes2d import project_boxes_to_image
+    from sfa3d_tpu.fusion.fuse import DetectionSet, rescore_3d_from_camera
+    from sfa3d_tpu.models import create_model, load_variables
+    from sfa3d_tpu.pipeline import detect_frames
+
+    model = create_model(args.arch)
+    variables = load_variables(args.pretrained_path, args.arch, model,
+                               use_ema=args.use_ema)
+    dataset = KittiDataset(args.dataset_dir, mode=args.split, hflip_prob=0.0,
+                           num_samples=args.num_samples)
+    rng = np.random.default_rng(args.oracle_seed)
+
+    dets_lidar, dets_fused, gts = [], [], []
+    n_confirmed = 0
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        out = detect_frames(model, variables, sample.points[None],
+                            sample.valid[None], K=args.K,
+                            peak_thresh=args.peak_thresh)
+        mask = np.asarray(out["mask"])[0]
+        real = np.asarray(out["boxes_real"])[0]
+        scores = np.asarray(out["detections"])[0, :, 0]
+
+        calib = sample.calib
+        sfa2d_boxes, sfa2d_valid = project_boxes_to_image(
+            real, scores, mask,
+            np.asarray(calib.V2C, np.float32), np.asarray(calib.R0, np.float32),
+            np.asarray(calib.P2, np.float32), conf_gate=0.0,
+        )
+        lab = sample.labels[: int(sample.n_labels)]
+        cb, cs, cc, cv = build_camera_oracle(
+            lab, calib.P2, rng, conf=args.oracle_conf,
+            miss_prob=args.oracle_miss, n_fp=args.oracle_fp,
+            jitter=args.oracle_jitter,
+        )
+        fused_scores = np.asarray(rescore_3d_from_camera(
+            DetectionSet(cb, cs, cc, cv),
+            DetectionSet(np.asarray(sfa2d_boxes), scores,
+                         real[:, 0].astype(np.int32), np.asarray(sfa2d_valid)),
+            scores, args.fusion_iou,
+        ))
+        n_confirmed += int((fused_scores[mask] > scores[mask] + 1e-9).sum())
+
+        base = {
+            "boxes": real[mask][:, 1:8],
+            "classes": real[mask][:, 0].astype(int),
+        }
+        dets_lidar.append({**base, "scores": scores[mask]})
+        dets_fused.append({**base, "scores": fused_scores[mask]})
+        gt = {"boxes": lab[:, 1:8], "classes": lab[:, 0].astype(int)}
+        if sample.levels is not None:
+            gt["difficulty"] = sample.levels[: int(sample.n_labels)]
+        gts.append(gt)
+        if (idx + 1) % 16 == 0:
+            print(f"{idx + 1}/{len(dataset)} frames")
+
+    report = {
+        "cmd": " ".join(["python", os.path.relpath(sys.argv[0], _ROOT)]
+                        + sys.argv[1:]),
+        "frames": len(dataset),
+        "camera_oracle": {
+            "conf": args.oracle_conf, "miss_prob": args.oracle_miss,
+            "false_positives_per_frame": args.oracle_fp,
+            "bbox_jitter": args.oracle_jitter, "seed": args.oracle_seed,
+            "why_oracle": "the JAX YOLOv8 ships untrained in this "
+                          "environment; the oracle is the controlled "
+                          "camera-information source with an honest error "
+                          "model (misses, jitter, false positives)",
+        },
+        "fusion_iou": args.fusion_iou,
+        "camera_confirmed_detections": n_confirmed,
+    }
+    for name, dets in [("lidar_only", dets_lidar),
+                       ("bayesian_rescored", dets_fused)]:
+        res = evaluate_kitti_ap(dets, gts, metric="3d", with_aos=True)
+        table = evaluate_kitti_ap_by_difficulty(dets, gts, metric="3d")
+        report[name] = {
+            "mAP": round(res["mAP"], 4),
+            "per_class": {k: round(v, 4) for k, v in res.items()
+                          if k.startswith("AP_")},
+            "by_difficulty": {k: round(v["mAP"], 4) for k, v in table.items()},
+        }
+        print(name, json.dumps(report[name]))
+
+    delta = report["bayesian_rescored"]["mAP"] - report["lidar_only"]["mAP"]
+    report["delta_mAP"] = round(delta, 4)
+    report["delta_by_difficulty"] = {
+        k: round(report["bayesian_rescored"]["by_difficulty"][k]
+                 - report["lidar_only"]["by_difficulty"][k], 4)
+        for k in report["lidar_only"]["by_difficulty"]
+    }
+    report["reference_claim"] = (
+        "README.md:223-226: Bayesian fusion raises 3D AP (88.61 -> 92.15 "
+        "Easy); gate: same SIGN (delta_mAP > 0)"
+    )
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}: delta_mAP {delta:+.4f}")
+    if delta <= 0 and not args.smoke:
+        print("FAIL: fusion did not improve mAP")
+        sys.exit(1)
+    print("FUSION CHECK OK" if delta > 0 else "FUSION SMOKE OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,36 @@ def filter_by_confidence(dets: DetectionSet, confidence_threshold: float) -> Det
     """Pre-fusion confidence gate (create_fused_detections_wrapper,
     test6.py:310-348)."""
     return dets._replace(valid=dets.valid & (dets.scores >= confidence_threshold))
+
+
+@jax.jit
+def rescore_3d_from_camera(
+    camera: DetectionSet,
+    sfa2d: DetectionSet,
+    sfa_scores3d: jax.Array,
+    fusion_iou_threshold: float = 0.7,
+):
+    """Late-fusion rescoring of the 3D detections by their camera matches.
+
+    The reference's fused OUTPUT lives in the image plane (test6.py fused
+    boxes are 2D), but its README attributes a 3D-AP gain to fusion
+    (README.md:223-226). The 3D-measurable mechanism behind that claim is
+    exactly this: a 3D detection whose image projection is confirmed by a
+    camera detection takes the fused confidence max(conf_3d, conf_2d) — the
+    fuse_bayesian/fuse_weighted confidence rule (test5.py:262, test6.py:295)
+    — while unconfirmed detections pass through unchanged. Reordering the
+    PR curve toward camera-confirmed detections is what moves 3D AP.
+
+    Args: `camera`/`sfa2d` are image-plane DetectionSets (sfa2d from
+    project_boxes_to_image over the 3D boxes); `sfa_scores3d` the (K,)
+    3D confidences. Returns the (K,) rescored 3D confidences; matching is
+    greedy_match, the same loop every fusion mode shares.
+    """
+    match_idx, sfa_matched = greedy_match(camera, sfa2d, fusion_iou_threshold)
+    j = jnp.maximum(match_idx, 0)
+    boost = jnp.zeros_like(sfa_scores3d).at[j].max(
+        jnp.where(match_idx >= 0, camera.scores, 0.0)
+    )
+    return jnp.where(
+        sfa_matched, jnp.maximum(sfa_scores3d, boost), sfa_scores3d
+    )

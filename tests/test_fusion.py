@@ -274,3 +274,46 @@ def test_projection_matches_reference_recipe(rng):
             )
         else:
             assert not valid[i]
+
+
+def test_rescore_3d_from_camera():
+    """Hand-built oracle: a camera-confirmed 3D detection takes
+    max(conf_3d, conf_2d); unconfirmed and invalid detections pass through;
+    a camera box below the IoU threshold confirms nothing."""
+    from sfa3d_tpu.fusion.fuse import rescore_3d_from_camera
+
+    # 3 SFA detections projected to the image plane (xywh)
+    sfa2d = DetectionSet(
+        boxes=jnp.asarray([[100.0, 100, 50, 40],
+                           [400.0, 120, 60, 50],
+                           [800.0, 90, 40, 30]]),
+        scores=jnp.asarray([0.30, 0.60, 0.25]),
+        classes=jnp.asarray([1, 1, 0], jnp.int32),
+        valid=jnp.asarray([True, True, False]),
+    )
+    scores3d = jnp.asarray([0.30, 0.60, 0.25])
+    cam = DetectionSet(
+        # box 0 overlaps sfa det 0 heavily (IoU ~0.82); box 1 overlaps
+        # nothing above threshold (far corner of det 1, IoU ~0.09)
+        boxes=jnp.asarray([[102.0, 102, 50, 40],
+                           [450.0, 160, 60, 50]]),
+        scores=jnp.asarray([0.90, 0.95]),
+        classes=jnp.asarray([1, 1], jnp.int32),
+        valid=jnp.asarray([True, True]),
+    )
+    out = np.asarray(rescore_3d_from_camera(cam, sfa2d, scores3d, 0.7))
+    assert out[0] == pytest.approx(0.90)   # confirmed -> max(0.30, 0.90)
+    assert out[1] == pytest.approx(0.60)   # unconfirmed -> unchanged
+    assert out[2] == pytest.approx(0.25)   # invalid slot -> unchanged
+
+    # a second camera box on the SAME target must not double-claim: the
+    # greedy match consumes sfa det 0, so an identical second box matches
+    # nothing and changes nothing
+    cam2 = DetectionSet(
+        boxes=jnp.asarray([[102.0, 102, 50, 40], [102.0, 102, 50, 40]]),
+        scores=jnp.asarray([0.70, 0.99]),
+        classes=jnp.asarray([1, 1], jnp.int32),
+        valid=jnp.asarray([True, True]),
+    )
+    out2 = np.asarray(rescore_3d_from_camera(cam2, sfa2d, scores3d, 0.7))
+    assert out2[0] == pytest.approx(0.70)  # first (input-order) box wins
