@@ -208,6 +208,62 @@ def bench_train(args):
     )
 
 
+def bench_latency(args):
+    """Serving-style LATENCY at small batch (1-8): ms per dispatch of the
+    full fused pipeline, in-jit chained (no tunnel RTT in the number). The
+    reference's ~30 ms/frame (README.md:229, RTX 3080) is a batch-1
+    serving-style figure — the headline throughput row (batch 128+) is a
+    different quantity and must not be compared against it."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.models import create_model
+    from sfa3d_tpu.models.yolov8 import YOLOv8
+    from sfa3d_tpu.pipeline import init_detector
+
+    kfpn = create_model("fpn_resnet_18")
+    kvars = init_detector(kfpn, jax.random.PRNGKey(0))
+    yolo = YOLOv8(scale="n")
+    yvars = yolo.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, LB, LB, 3), jnp.float32), train=False
+    )
+    fused = build_fused(kfpn, yolo)
+    sfa = build_sfa_only(kfpn)
+
+    table = {}
+    for batch in args.latency_batches:
+        pts, valid = make_points(batch)
+        cam = make_camera(batch)
+        iters = args.latency_iters
+        dt = time_chained(
+            lambda fb: fused(kvars, yvars, pts, valid, *cam, fb)[1], iters
+        )
+        dt_sfa = time_chained(lambda fb: sfa(kvars, pts, valid, fb)[2], iters)
+        table[str(batch)] = {
+            "fused_ms_per_dispatch": round(dt / iters * 1000.0, 3),
+            "fused_ms_per_frame": round(dt / iters / batch * 1000.0, 3),
+            "sfa_only_ms_per_dispatch": round(dt_sfa / iters * 1000.0, 3),
+            "sfa_only_ms_per_frame": round(dt_sfa / iters / batch * 1000.0, 3),
+        }
+
+    b1 = table.get("1") or table[sorted(table, key=int)[0]]
+    print(
+        json.dumps(
+            {
+                "metric": ("batch-1 end-to-end latency, fused pipeline "
+                           "(BEV+KFPN+YOLOv8n+Bayesian fusion+Gaussian NMS, "
+                           "float32 parity mode)"),
+                "value": b1["fused_ms_per_dispatch"],
+                "unit": "ms/frame",
+                # reference README.md:229: ~30 ms/frame on RTX 3080
+                "vs_baseline": round(30.0 / max(b1["fused_ms_per_dispatch"], 1e-9), 3),
+                "by_batch": table,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
 def start_watchdog(
     seconds: float,
     metric: str = ("end-to-end KITTI frames/sec/chip (BEV+KFPN+YOLOv8n+"
@@ -261,11 +317,23 @@ def main():
     ap.add_argument("--train_batch", type=int, default=16)
     ap.add_argument("--subdivisions", type=int, default=4)
     ap.add_argument("--train_iters", type=int, default=10)
+    ap.add_argument("--latency", action="store_true",
+                    help="small-batch serving latency (ms/frame at batch "
+                         "1-8) instead of max throughput")
+    ap.add_argument("--latency_batches", type=int, nargs="*",
+                    default=[1, 2, 4, 8])
+    ap.add_argument("--latency_iters", type=int, default=64)
     args = ap.parse_args()
 
     budget = float(os.environ.get("SFA3D_BENCH_WATCHDOG_SECS", "1800"))
     wd_kw = {}
-    if args.train:
+    if args.latency:
+        wd_kw = dict(
+            metric=("batch-1 end-to-end latency, fused pipeline (float32 "
+                    "parity mode)"),
+            unit="ms/frame",
+        )
+    elif args.train:
         wd_kw = dict(
             metric=(f"KITTI training steps/sec/chip (608^2, batch "
                     f"{args.train_batch} x {args.subdivisions} "
@@ -286,7 +354,7 @@ def main():
         except Exception:
             pass  # cache is an optimization; never fail the bench over it
 
-    if args.train:
+    if args.train or args.latency:
         import contextlib as _ctx
 
         import jax as _jax
@@ -295,7 +363,7 @@ def main():
             _jax.profiler.trace(args.profile) if args.profile else _ctx.nullcontext()
         )
         with prof:
-            bench_train(args)
+            (bench_train if args.train else bench_latency)(args)
         if watchdog is not None:
             watchdog.cancel()
         return

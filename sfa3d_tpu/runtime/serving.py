@@ -195,10 +195,13 @@ class BatchingDetectorServer:
             sentinel_seen = False
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
                 try:
-                    nxt = self._q.get(timeout=remaining)
+                    # past the deadline, a non-blocking drain still takes
+                    # whatever is ALREADY queued — it costs no latency and
+                    # raises bucket fill (requests that arrived during the
+                    # blocking wait used to be left behind at timeout)
+                    nxt = (self._q.get(timeout=remaining) if remaining > 0
+                           else self._q.get_nowait())
                 except queue.Empty:
                     break
                 if nxt is None:
