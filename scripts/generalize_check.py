@@ -56,7 +56,8 @@ def train_cmd(args, root, tmp):
         # p=0.66 + BEV hflip) — the defaults
     ]
     if args.ema_decay:
-        cmd += ["--ema_decay", str(args.ema_decay)]
+        cmd += ["--ema_decay", str(args.ema_decay),
+                "--ema_tau", str(args.ema_tau)]
     if args.cpu:
         cmd += ["--platform", "cpu"]
     return cmd
@@ -80,6 +81,12 @@ def main():
                     help="train with a parameter EMA and evaluate the EMA "
                          "weights (the modern-detector stabilizer; smooths "
                          "the val curve's epoch-to-epoch oscillation)")
+    ap.add_argument("--ema_tau", type=float, default=2000.0,
+                    help="EMA ramp time-constant in OPTIMIZER STEPS. The "
+                         "ultralytics default 2000 suits runs of 10k+ "
+                         "steps; at this harness's scale (8 steps/epoch -> "
+                         "~3k steps) the ramp never completes and the EMA "
+                         "degenerates to the raw weights — use ~200 here")
     ap.add_argument("--kill_after_epoch", type=int, default=None,
                     help="SIGKILL the trainer once this epoch's checkpoint "
                          "lands (default: epochs//3 rounded to a checkpoint; "
@@ -247,6 +254,7 @@ def main():
             "effective_batch": args.effective_batch,
             "lr": args.lr, "lr_type": "cosin",
             "ema_decay": args.ema_decay or None,
+            "ema_tau": args.ema_tau if args.ema_decay else None,
             "range_falloff": args.range_falloff or None,
             "data_seed": args.data_seed,
             "augmentation": "ON (reference defaults: OneOf(rotation, scaling) p=0.66 + hflip)",

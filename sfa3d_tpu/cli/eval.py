@@ -64,13 +64,28 @@ def main(argv=None):
         mask = np.asarray(out["mask"])[0]
         real = np.asarray(out["boxes_real"])[0]
         scores = np.asarray(out["detections"])[0, :, 0]
-        detections.append(
-            {
-                "boxes": real[mask][:, 1:8],
-                "scores": scores[mask],
-                "classes": real[mask][:, 0].astype(int),
-            }
-        )
+        det = {
+            "boxes": real[mask][:, 1:8],
+            "scores": scores[mask],
+            "classes": real[mask][:, 0].astype(int),
+        }
+        if sample.calib is not None:
+            # projected 2D bbox heights feed the devkit MIN_HEIGHT
+            # detection-ignore rule in the difficulty buckets; detections
+            # outside the camera frustum get height 0 (ignored per bucket,
+            # like the devkit's out-of-image dets)
+            from sfa3d_tpu.fusion.boxes2d import project_boxes_to_image
+
+            b2d, v2d = project_boxes_to_image(
+                real, scores, mask,
+                np.asarray(sample.calib.V2C, np.float32),
+                np.asarray(sample.calib.R0, np.float32),
+                np.asarray(sample.calib.P2, np.float32),
+                conf_gate=0.0,
+            )
+            h2d = np.where(np.asarray(v2d), np.asarray(b2d)[:, 3], 0.0)
+            det["heights"] = h2d[mask]
+        detections.append(det)
         lab = sample.labels[: int(sample.n_labels)]
         # dataset labels store raw velodyne yaw; detector emits the same
         gt = {"boxes": lab[:, 1:8], "classes": lab[:, 0].astype(int)}

@@ -91,6 +91,15 @@ def _match_bucket(iou, det_scores, countable, iou_thresh):
 
 DIFFICULTY_NAMES = {1: "Easy", 2: "Moderate", 3: "Hard"}
 
+# Official devkit detection-side ignore (evaluate_object.cpp MIN_HEIGHT
+# {40, 25, 25} px): a detection whose 2D bbox height is below the bucket's
+# minimum is removed from that bucket's PR curve entirely — a far/small
+# detection can never correspond to an Easy GT, and without this filter the
+# full FP population penalizes every bucket equally, inverting the natural
+# Easy >= Moderate >= Hard ordering whenever score and difficulty
+# decorrelate. Applied only when per-detection heights are supplied.
+MIN_DET_HEIGHT = {1: 40.0, 2: 25.0, 3: 25.0}
+
 
 def evaluate_kitti_ap(
     detections: Sequence[Dict],
@@ -113,7 +122,10 @@ def evaluate_kitti_ap(
       difficulty: KITTI bucket (1/2/3). When set, GT with level <= difficulty
         count toward recall; HARDER GT are "ignored" per the KITTI protocol —
         detections matched to them are neither TP nor FP (frames without a
-        'difficulty' array treat every GT as countable).
+        'difficulty' array treat every GT as countable). When a detection
+        dict also carries 'heights' ((N,) projected 2D bbox heights, px),
+        detections below MIN_DET_HEIGHT[difficulty] are ignored for that
+        bucket (devkit MIN_HEIGHT rule).
       with_aos: also compute KITTI Average Orientation Similarity — the AP
         integral with per-detection precision replaced by cumulative
         (1+cos(yaw error))/2 over matched pairs (FPs contribute 0), so
@@ -140,6 +152,8 @@ def _collect_matches(detections, ground_truths, num_classes, metric,
         det_classes = np.asarray(det["classes"])
         gt_classes = np.asarray(gt["classes"])
         levels_all = np.asarray(gt["difficulty"]) if "difficulty" in gt else None
+        heights_all = (np.asarray(det["heights"], np.float32)
+                       if "heights" in det else None)
         for cls in range(num_classes):
             dm = det_classes == cls
             gm = gt_classes == cls
@@ -148,12 +162,14 @@ def _collect_matches(detections, ground_truths, num_classes, metric,
             gt_boxes = np.asarray(gt["boxes"], np.float32)[gm]
             iou = _frame_iou(det_boxes, gt_boxes, metric)
             levels = levels_all[gm] if levels_all is not None else None
+            heights = heights_all[dm] if heights_all is not None else None
             # yaw column (index 6 of [x,y,z,h,w,l,yaw]) feeds the AOS
             # orientation-similarity curve for matched pairs
             per_class[cls].append(
                 (det_scores, iou, iou_thresholds[cls], len(gt_boxes), levels,
                  det_boxes[:, 6] if det_boxes.size else np.zeros(0, np.float32),
-                 gt_boxes[:, 6] if gt_boxes.size else np.zeros(0, np.float32))
+                 gt_boxes[:, 6] if gt_boxes.size else np.zeros(0, np.float32),
+                 heights)
             )
     return per_class
 
@@ -167,12 +183,19 @@ def _score_bucket(per_class, num_classes, difficulty, with_aos=False):
         tp_all: List[np.ndarray] = []
         sim_all: List[np.ndarray] = []
         n_gt = 0
-        for det_scores, iou, thresh, ng, levels, dyaw, gyaw in per_class[cls]:
+        for det_scores, iou, thresh, ng, levels, dyaw, gyaw, heights in per_class[cls]:
             if difficulty is not None and levels is not None:
                 countable = levels <= difficulty
             else:
                 countable = np.ones(ng, bool)
             n_gt += int(countable.sum())
+            if difficulty is not None and heights is not None:
+                # devkit MIN_HEIGHT detection ignore: too-small detections
+                # leave this bucket's PR curve before matching
+                keep = heights >= MIN_DET_HEIGHT[difficulty]
+                det_scores = det_scores[keep]
+                iou = iou[keep]
+                dyaw = dyaw[keep]
             match, ignored = _match_bucket(iou, det_scores, countable, thresh)
             # detections matched to an out-of-bucket GT are dropped from
             # the PR curve entirely (KITTI "ignored": not FP, not TP)

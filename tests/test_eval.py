@@ -272,3 +272,45 @@ def test_detection_with_zero_gt_of_class_is_fp_not_crash():
     }]
     res2 = evaluate_kitti_ap(dets, gts2)
     assert res2["AP_2"] == 0.0  # detection is at the Car's pose, not the bike's
+
+
+def test_min_height_detection_ignore_follows_devkit():
+    """Devkit MIN_HEIGHT rule (evaluate_object.cpp: {40, 25, 25} px): a
+    small/far detection is removed from a bucket's PR curve, so a high-score
+    far FP cannot poison the Easy bucket — without this rule the full FP
+    population penalizes every bucket and inverts Easy >= Mod >= Hard
+    whenever score and difficulty decorrelate (round-4 finding)."""
+    import numpy as np
+
+    from sfa3d_tpu.eval import evaluate_kitti_ap
+
+    gt = {
+        "boxes": np.asarray([[10.0, 0, -1, 1.5, 1.6, 3.9, 0.0]], np.float32),
+        "classes": np.asarray([1]),
+        "difficulty": np.asarray([1]),  # one Easy GT
+    }
+    det = {
+        "boxes": np.asarray(
+            [
+                [10.0, 0, -1, 1.5, 1.6, 3.9, 0.0],   # exact TP
+                [40.0, 10, -1, 1.5, 1.6, 3.9, 0.0],  # far FP, outranks TP
+            ],
+            np.float32,
+        ),
+        "scores": np.asarray([0.6, 0.9], np.float32),
+        "classes": np.asarray([1, 1]),
+        "heights": np.asarray([60.0, 30.0], np.float32),  # far det is small
+    }
+    # Easy: the 30-px FP is ignored (< 40) -> perfect PR -> AP 1
+    easy = evaluate_kitti_ap([det], [gt], difficulty=1)
+    assert easy["AP_1"] == pytest.approx(1.0)
+    # Moderate: 30 px >= 25 -> the FP counts and outranks the TP -> AP < 1
+    mod = evaluate_kitti_ap([det], [gt], difficulty=2)
+    assert mod["AP_1"] < 1.0
+    # no heights supplied -> rule off -> FP poisons Easy too
+    det_nh = {k: v for k, v in det.items() if k != "heights"}
+    easy_nh = evaluate_kitti_ap([det_nh], [gt], difficulty=1)
+    assert easy_nh["AP_1"] < 1.0
+    # undifficultied mAP ignores heights entirely
+    overall = evaluate_kitti_ap([det], [gt])
+    assert overall["AP_1"] == easy_nh["AP_1"]
