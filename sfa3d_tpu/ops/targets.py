@@ -130,19 +130,30 @@ def build_targets(
 
     center_x = (y - min_y) / bsy * hm_w
     center_y = (x - min_x) / bsx * hm_h
-    center_x = jnp.where(hflipped, hm_w - center_x - 1.0, center_x)
+    # hflip mirrors the raster by ARRAY REVERSAL (bev[:, ::-1]), which maps
+    # continuous coordinates c -> W - c (pixel i spans [i, i+1); reversal
+    # sends intra-pixel fraction f to 1-f). The reference flips targets as
+    # `hm_w - center_x - 1` (kitti_dataset.py:196-197) — one FULL cell off,
+    # so half its training batches teach a contradictory sub-cell offset
+    # and the trained net splits the difference: a systematic -0.5-cell
+    # (-0.16 m) y bias on every detection, measured on held-out scenes
+    # (median dy/cell = -0.53, dx unbiased). Deliberate divergence: we use
+    # the exact mirror (docs/TECHNICAL.md "Known divergences").
+    center_x_preflip = center_x
+    center_x = jnp.where(hflipped, hm_w - center_x, center_x)
     center = jnp.stack([center_x, center_y], axis=-1)  # (M, 2)
     center_int = center.astype(jnp.int32)  # truncation == reference astype
 
     # A label EXACTLY on the max boundary (in_bounds is inclusive) lands on
-    # the guard cell center == hm size (or < 0 after hflip), which the
-    # raster also drops; without this gate indices_center would address the
-    # wrong head pixel (the reference IndexErrors on the same edge case).
-    # Gate on the FLOAT center: int32 truncation rounds toward zero, so a
-    # center in (-1, 0) would otherwise slip into cell 0 with a bogus
-    # offset target.
+    # the guard cell center == hm size, which the raster also drops;
+    # without this gate indices_center would address the wrong head pixel
+    # (the reference IndexErrors on the same edge case). Gate on the FLOAT
+    # center, and on the PRE-flip x as well: the exact mirror maps the
+    # boundary guard cell hm_w to 0, which would otherwise turn a label the
+    # raster drops into a positive at the leftmost column under hflip only.
     in_grid = (
         (center[:, 0] >= 0) & (center[:, 0] < hm_w)
+        & (center_x_preflip < hm_w)
         & (center[:, 1] >= 0) & (center[:, 1] < hm_h)
     )
     is_pos = is_pos & in_grid

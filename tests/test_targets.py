@@ -43,7 +43,10 @@ def reference_build_targets(kdu, labels, hflipped, num_classes=3, hm_size=(152, 
         center_x = (y - minY) / cnf.bound_size_y * hm_w
         center = np.array([center_x, center_y], dtype=np.float32)
         if hflipped:
-            center[0] = hm_w - center[0] - 1
+            # corrected mirror (deliberate divergence from the reference's
+            # `hm_w - center[0] - 1`, kitti_dataset.py:197 — one full cell
+            # off vs the raster's array reversal; see ops/targets.py)
+            center[0] = hm_w - center[0]
         center_int = center.astype(np.int32)
         if cls_id < 0:
             ignore_ids = list(range(num_classes)) if cls_id == -1 else [-cls_id - 2]
@@ -150,3 +153,31 @@ def test_compute_radius_matches(rng):
         ref = kdu.compute_radius((math.ceil(h), math.ceil(w)))
         ours = float(compute_radius((math.ceil(h), math.ceil(w))))
         assert abs(ref - ours) < 1e-3
+
+
+def test_hflip_targets_mirror_subcell_exact():
+    """The flipped target center must be the EXACT continuous mirror
+    hm_w - c of the unflipped one (array reversal maps intra-pixel fraction
+    f -> 1-f). The reference's hm_w - c - 1 (kitti_dataset.py:197) is a
+    full cell off; trained through 50%-flipped batches that contradiction
+    taught a systematic -0.5-cell y bias on every detection (round-4
+    measurement: median dy = -0.53 cells, dx unbiased)."""
+    import numpy as np
+
+    from sfa3d_tpu.ops.targets import build_targets
+
+    hm_w = 152
+    labels = np.zeros((50, 8), np.float32)
+    # three objects at asymmetric sub-cell y positions
+    for k, (x, y) in enumerate([(20.0, 3.37), (30.0, -7.81), (12.0, 0.41)]):
+        labels[k] = [1, x, y, -1.0, 1.5, 1.7, 4.0, 0.3]
+    tn = build_targets(labels, np.int32(3), np.bool_(False))
+    tf = build_targets(labels, np.int32(3), np.bool_(True))
+    for k in range(3):
+        ix_n = int(tn["indices_center"][k]) % hm_w
+        ix_f = int(tf["indices_center"][k]) % hm_w
+        c_n = ix_n + float(tn["cen_offset"][k][0])
+        c_f = ix_f + float(tf["cen_offset"][k][0])
+        assert c_f == pytest.approx(hm_w - c_n, abs=1e-4), (k, c_n, c_f)
+        # y (row) unchanged by a W-flip
+        assert int(tn["indices_center"][k]) // hm_w == int(tf["indices_center"][k]) // hm_w
