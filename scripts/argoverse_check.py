@@ -1,0 +1,213 @@
+"""Argoverse training evidence (VERDICT r3 item 8): the `--dataset
+argoverse` recipe must LEARN on held-out Argoverse-layout scenes, not just
+run.
+
+Trains fpn_resnet_18 through the Argoverse path (PLY/bin sweeps ->
+argoverse_points_to_bev 1000^2 raster -> center 608^2 crop ->
+geometry-matched targets, data/argoverse.py) on a synthetic mini-Argoverse
+population, then evaluates every retained checkpoint on a DISJOINT held-out
+root: detections are decoded in the crop frame and scored with rotated-BEV
+AP against the ground-truth boxes mapped through the SAME crop transform
+(x' = 30.4 - x, yaw' = pi - yaw — see _argo_prepare_batch; BEV IoU is
+invariant under that mirror).
+
+Run (TPU, ~20 min at the defaults):
+    python scripts/argoverse_check.py
+CPU smoke:
+    python scripts/argoverse_check.py --cpu --smoke --frames_train 8 \
+        --frames_val 2 --epochs 1 --checkpoint_freq 1 --batch_size 4
+"""
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+HALF = 30.4  # crop half-extent, meters (608 px * 0.1 m/px / 2)
+
+
+def eval_ckpt(ckpt, val_root, n_val, peak_thresh, use_ema):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sfa3d_tpu.data.argoverse import ArgoverseDataset
+    from sfa3d_tpu.eval import evaluate_kitti_ap
+    from sfa3d_tpu.models import create_model, load_variables
+    from sfa3d_tpu.ops.bev import argoverse_points_to_bev
+    from sfa3d_tpu.pipeline import detect_bev
+
+    model = create_model("fpn_resnet_18")
+    variables = load_variables(ckpt, "fpn_resnet_18", model, use_ema=use_ema)
+    ds = ArgoverseDataset(val_root, mode="test", num_samples=n_val)
+    dets, gts = [], []
+    for idx in range(len(ds)):
+        s = ds[idx]
+        bev = argoverse_points_to_bev(jnp.asarray(s.points), jnp.asarray(s.valid))
+        h, w = bev.shape[:2]
+        y0, x0 = (h - 608) // 2, (w - 608) // 2
+        crop = bev[y0:y0 + 608, x0:x0 + 608, :] / 255.0
+        _, bev_boxes, _, mask = detect_bev(
+            model, variables, crop[None], K=50, peak_thresh=peak_thresh
+        )
+        bb = np.asarray(bev_boxes)[0]
+        m = np.asarray(mask)[0]
+        # crop-frame metric boxes [x', y', z, h, w, l, yaw]: same axes the
+        # targets were built in (build_targets with the crop bound)
+        scale = 2 * HALF / 608.0
+        det_rows = np.stack([
+            bb[:, 3] * scale,            # x' (row axis, 0..60.8)
+            bb[:, 2] * scale - HALF,     # y'
+            bb[:, 4],                    # z - minZ (unused by bev metric)
+            bb[:, 5],                    # h
+            bb[:, 6] * scale,            # w
+            bb[:, 7] * scale,            # l
+            -bb[:, 8],                   # yaw (decode negates, like KITTI)
+        ], axis=-1)
+        dets.append({
+            "boxes": det_rows[m],
+            "scores": bb[m, 1],
+            "classes": bb[m, 0].astype(int),
+        })
+        lab = s.labels[: int(s.n_labels)]
+        gt_rows = np.stack([
+            HALF - lab[:, 1],            # x' = 30.4 - x
+            lab[:, 2],                   # y' = y
+            lab[:, 3],
+            lab[:, 4], lab[:, 5], lab[:, 6],
+            np.pi - lab[:, 7],           # heading reflected by the x-mirror
+        ], axis=-1)
+        keep = (np.abs(gt_rows[:, 0] - HALF) < HALF) & (np.abs(gt_rows[:, 1]) < HALF)
+        gts.append({
+            "boxes": gt_rows[keep],
+            "classes": lab[keep, 0].astype(int),
+        })
+    return evaluate_kitti_ap(dets, gts, metric="bev")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames_train", type=int, default=96)
+    ap.add_argument("--frames_val", type=int, default=24)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--checkpoint_freq", type=int, default=20)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2.5e-4)
+    ap.add_argument("--ema_decay", type=float, default=0.998)
+    ap.add_argument("--ema_tau", type=float, default=200.0)
+    ap.add_argument("--peak_thresh", type=float, default=0.2)
+    ap.add_argument("--min_final_map", type=float, default=0.2,
+                    help="gate on the best held-out BEV mAP (lower than the "
+                         "KITTI gate: 96 scenes, 120 epochs — the claim is "
+                         "LEARNS, at small scale)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--keep_tmp", action="store_true")
+    ap.add_argument("--out", default=os.path.join(_ROOT, "ARGOVERSE_CHECK.json"))
+    args = ap.parse_args()
+
+    import tempfile
+
+    from sfa3d_tpu.data.argoverse import write_mini_argoverse
+
+    tmp = tempfile.mkdtemp(prefix="argocheck_")
+    train_root = write_mini_argoverse(
+        os.path.join(tmp, "train"), n_frames=args.frames_train, seed=0
+    )
+    val_root = write_mini_argoverse(
+        os.path.join(tmp, "val"), n_frames=args.frames_val, seed=700000
+    )
+
+    cmd = [
+        sys.executable, "-m", "sfa3d_tpu.cli", "train",
+        "--dataset", "argoverse",
+        "--dataset_dir", train_root,
+        "--batch_size", str(args.batch_size),
+        "--effective_batch", str(args.batch_size),
+        "--mesh_shape", "1",
+        "--num_epochs", str(args.epochs),
+        "--checkpoint_freq", str(args.checkpoint_freq),
+        "--keep_checkpoints", "0",
+        "--print_freq", "8",
+        "--num_workers", "2",
+        "--lr", str(args.lr), "--lr_type", "cosin",
+        "--root-dir", tmp, "--saved_fn", "argo",
+    ]
+    if args.ema_decay:
+        cmd += ["--ema_decay", str(args.ema_decay),
+                "--ema_tau", str(args.ema_tau)]
+    if args.cpu:
+        cmd += ["--platform", "cpu"]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    print("train:", " ".join(cmd))
+    rc = subprocess.run(cmd, cwd=_ROOT, env=env).returncode
+    assert rc == 0, f"training failed rc={rc}"
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    ckpts = sorted(
+        glob.glob(os.path.join(tmp, "checkpoints", "argo", "Model_argo_epoch_*")),
+        key=lambda p: int(p.rsplit("_", 1)[-1]),
+    )
+    assert ckpts, "no checkpoints"
+    curve = []
+    for ckpt in ckpts:
+        res = eval_ckpt(ckpt, val_root, args.frames_val, args.peak_thresh,
+                        use_ema=bool(args.ema_decay))
+        row = {"epoch": int(ckpt.rsplit("_", 1)[-1]),
+               "val_bev_mAP": round(res["mAP"], 4),
+               "per_class": {k: round(v, 4) for k, v in res.items()
+                             if k.startswith("AP_")}}
+        curve.append(row)
+        print(json.dumps(row))
+
+    best = max(curve, key=lambda r: r["val_bev_mAP"])
+    report = {
+        "cmd": " ".join(["python", os.path.relpath(sys.argv[0], _ROOT)]
+                        + sys.argv[1:]),
+        "config": {k: getattr(args, k) for k in
+                   ("frames_train", "frames_val", "epochs", "batch_size",
+                    "lr", "ema_decay", "ema_tau")},
+        "metric": "held-out rotated-BEV mAP in the Argoverse crop frame",
+        "val_curve": curve,
+        "best": best,
+        "final": curve[-1],
+        "climbed": best["val_bev_mAP"] > curve[0]["val_bev_mAP"],
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+
+    if not args.keep_tmp:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    failures = []
+    if best["val_bev_mAP"] < args.min_final_map:
+        failures.append(f"best held-out BEV mAP {best['val_bev_mAP']} < "
+                        f"{args.min_final_map}")
+    if not report["climbed"]:
+        failures.append("val mAP did not climb")
+    if failures and args.smoke:
+        for f_ in failures:
+            print(f"smoke mode: gate not enforced — {f_}")
+        print("ARGOVERSE SMOKE OK")
+    elif failures:
+        for f_ in failures:
+            print(f"FAIL: {f_}")
+        sys.exit(1)
+    else:
+        print("ARGOVERSE CHECK OK")
+
+
+if __name__ == "__main__":
+    main()
