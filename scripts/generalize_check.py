@@ -242,6 +242,13 @@ def main():
     # model selection on the held-out split (the universal protocol): the
     # deliverable checkpoint is the best-val one, not the last epoch
     best = max(curve, key=lambda r: r["val_mAP"])
+    climbed = best["val_mAP"] > early["val_mAP"]
+    failures = []
+    if best["by_difficulty"].get("Easy", best["val_mAP"]) < args.min_final_easy:
+        failures.append(f"best held-out Easy AP "
+                        f"{best['by_difficulty'].get('Easy')} < {args.min_final_easy}")
+    if not climbed:
+        failures.append("val mAP did not climb across the curve")
     report = {
         # the exact invocation, so the artifact is reproducible as recorded
         "cmd": " ".join(["python", os.path.relpath(sys.argv[0], _ROOT)]
@@ -266,18 +273,17 @@ def main():
         "val_map_curve": curve,
         "best": best,
         "final": final,
-        "climbed": best["val_mAP"] > early["val_mAP"],
+        "climbed": climbed,
+        "gate": {
+            "min_best_easy": args.min_final_easy,
+            "must_climb": True,
+            "pass": not failures,
+            "failures": failures,
+        },
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.out}")
-
-    failures = []
-    if best["by_difficulty"].get("Easy", best["val_mAP"]) < args.min_final_easy:
-        failures.append(f"best held-out Easy AP "
-                        f"{best['by_difficulty'].get('Easy')} < {args.min_final_easy}")
-    if not report["climbed"]:
-        failures.append("val mAP did not climb across the curve")
 
     if not args.keep_tmp:
         import shutil
