@@ -59,13 +59,20 @@ def eval_ckpt(ckpt, val_root, n_val, peak_thresh, use_ema):
         # crop-frame metric boxes [x', y', z, h, w, l, yaw]: same axes the
         # targets were built in (build_targets with the crop bound)
         scale = 2 * HALF / 608.0
+        # positions are CROP-raster pixels (0.1 m/px), but post_processing
+        # converted the metric dims with the KITTI-config factor
+        # (ops/decode.py: w_px = w_m / bound_size * BEV px = x12.16), so dims
+        # must be un-converted with THAT factor, not the crop scale
+        from sfa3d_tpu.config import kitti as cnf
+        dim_w = cnf.bound_size_y / cnf.BEV_WIDTH
+        dim_l = cnf.bound_size_x / cnf.BEV_HEIGHT
         det_rows = np.stack([
             bb[:, 3] * scale,            # x' (row axis, 0..60.8)
             bb[:, 2] * scale - HALF,     # y'
             bb[:, 4],                    # z - minZ (unused by bev metric)
             bb[:, 5],                    # h
-            bb[:, 6] * scale,            # w
-            bb[:, 7] * scale,            # l
+            bb[:, 6] * dim_w,            # w (back to meters)
+            bb[:, 7] * dim_l,            # l (back to meters)
             -bb[:, 8],                   # yaw (decode negates, like KITTI)
         ], axis=-1)
         dets.append({
