@@ -246,17 +246,25 @@ def bench_latency(args):
             "sfa_only_ms_per_frame": round(dt_sfa / iters / batch * 1000.0, 3),
         }
 
-    b1 = table.get("1") or table[sorted(table, key=int)[0]]
+    # headline: true batch-1 dispatch if measured; otherwise the smallest
+    # batch's amortized PER-FRAME time (never a multi-frame dispatch time
+    # labeled ms/frame)
+    b1 = table.get("1")
+    b1_ms = (b1["fused_ms_per_dispatch"] if b1 is not None
+             else table[sorted(table, key=int)[0]]["fused_ms_per_frame"])
     print(
         json.dumps(
             {
                 "metric": ("batch-1 end-to-end latency, fused pipeline "
                            "(BEV+KFPN+YOLOv8n+Bayesian fusion+Gaussian NMS, "
-                           "float32 parity mode)"),
-                "value": b1["fused_ms_per_dispatch"],
+                           "float32 parity mode)" if b1 is not None else
+                           "small-batch amortized latency, fused pipeline "
+                           "(batch 1 not measured; smallest batch's "
+                           "per-frame time)"),
+                "value": b1_ms,
                 "unit": "ms/frame",
                 # reference README.md:229: ~30 ms/frame on RTX 3080
-                "vs_baseline": round(30.0 / max(b1["fused_ms_per_dispatch"], 1e-9), 3),
+                "vs_baseline": round(30.0 / max(b1_ms, 1e-9), 3),
                 "by_batch": table,
                 "device": str(jax.devices()[0]),
             }

@@ -23,6 +23,7 @@ Fused box coordinates are int-truncated exactly like the reference
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -165,12 +166,14 @@ def filter_by_confidence(dets: DetectionSet, confidence_threshold: float) -> Det
     return dets._replace(valid=dets.valid & (dets.scores >= confidence_threshold))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("mode",))
 def rescore_3d_from_camera(
     camera: DetectionSet,
     sfa2d: DetectionSet,
     sfa_scores3d: jax.Array,
     fusion_iou_threshold: float = 0.7,
+    mode: str = "max",
+    demote: float = 0.9,
 ):
     """Late-fusion rescoring of the 3D detections by their camera matches.
 
@@ -183,12 +186,35 @@ def rescore_3d_from_camera(
     — while unconfirmed detections pass through unchanged. Reordering the
     PR curve toward camera-confirmed detections is what moves 3D AP.
 
+    mode="max" is that reference rule. Measured on held-out scenes
+    (FUSION_CHECK.json) it DEGRADES strict-IoU 3D AP: it boosts near-miss
+    localizations (a 0.6-IoU box projects onto the same image box as a
+    0.75-IoU one — image-plane confirmation is localization-blind) and
+    collapses the detector's calibrated ranking onto the camera's.
+
+    mode="demote" is the monotone repair this framework ships as default
+    guidance: camera-confirmed detections KEEP the detector's own score
+    (preserving its calibrated ranking), while unconfirmed detections whose
+    projection lies inside the image (sfa2d.valid — out-of-frustum
+    detections are unjudgeable by the camera and pass through) are scaled
+    by `demote` < 1. The camera's real information — this detection
+    corresponds to no visible object — pushes ghosts down without
+    reordering true positives. The 0.9 default is deliberately gentle:
+    every camera MISS demotes a true positive, so held-out mAP as a
+    function of demote strength peaks near 1 (measured over 6 oracle
+    seeds at 10% miss rate: 0.9 was positive on all seeds, 0.5 on 4/6).
+
     Args: `camera`/`sfa2d` are image-plane DetectionSets (sfa2d from
     project_boxes_to_image over the 3D boxes); `sfa_scores3d` the (K,)
     3D confidences. Returns the (K,) rescored 3D confidences; matching is
     greedy_match, the same loop every fusion mode shares.
     """
     match_idx, sfa_matched = greedy_match(camera, sfa2d, fusion_iou_threshold)
+    if mode == "demote":
+        keep = sfa_matched | ~sfa2d.valid
+        return jnp.where(keep, sfa_scores3d, sfa_scores3d * demote)
+    if mode != "max":
+        raise ValueError(f"unknown rescore mode: {mode!r}")
     j = jnp.maximum(match_idx, 0)
     boost = jnp.zeros_like(sfa_scores3d).at[j].max(
         jnp.where(match_idx >= 0, camera.scores, 0.0)

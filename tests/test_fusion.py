@@ -317,3 +317,15 @@ def test_rescore_3d_from_camera():
     )
     out2 = np.asarray(rescore_3d_from_camera(cam2, sfa2d, scores3d, 0.7))
     assert out2[0] == pytest.approx(0.70)  # first (input-order) box wins
+
+    # mode="demote" (the monotone repair): confirmed detections KEEP the
+    # detector's score, unconfirmed in-frustum ones are scaled by `demote`,
+    # out-of-frustum (valid=False) ones are unjudgeable and pass through
+    out3 = np.asarray(rescore_3d_from_camera(cam, sfa2d, scores3d, 0.7,
+                                             mode="demote", demote=0.5))
+    assert out3[0] == pytest.approx(0.30)   # confirmed -> own score kept
+    assert out3[1] == pytest.approx(0.30)   # unconfirmed in-frustum -> x0.5
+    assert out3[2] == pytest.approx(0.25)   # out-of-frustum -> unchanged
+
+    with pytest.raises(ValueError):
+        rescore_3d_from_camera(cam, sfa2d, scores3d, 0.7, mode="bogus")
