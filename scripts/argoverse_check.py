@@ -143,6 +143,10 @@ def main():
         "--num_workers", "2",
         "--lr", str(args.lr), "--lr_type", "cosin",
         "--root-dir", tmp, "--saved_fn", "argo",
+        # persistent XLA cache: a repeat/resumed run skips the multi-minute
+        # 608^2 train-step compile on the tunneled chip
+        "--compilation_cache",
+        os.path.join(os.path.expanduser("~"), ".cache", "sfa3d_tpu", "xla_cache"),
     ]
     if args.ema_decay:
         cmd += ["--ema_decay", str(args.ema_decay),
@@ -159,6 +163,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()
 
     ckpts = sorted(
         glob.glob(os.path.join(tmp, "checkpoints", "argo", "Model_argo_epoch_*")),

@@ -75,6 +75,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
     import numpy as np

@@ -52,6 +52,11 @@ def train_cmd(args, root, tmp):
         "--root-dir", tmp,
         "--saved_fn", "gen",
         "--compute_dtype", args.dtype,
+        # persistent XLA cache: the kill+auto-resume phase relaunches the
+        # trainer, which would otherwise pay the multi-minute 608^2 compile
+        # a second time
+        "--compilation_cache",
+        os.path.join(os.path.expanduser("~"), ".cache", "sfa3d_tpu", "xla_cache"),
         # augmentation ON: reference train-time aug (OneOf(rotation, scaling)
         # p=0.66 + BEV hflip) — the defaults
     ]
@@ -204,6 +209,9 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from sfa3d_tpu.runtime.export import enable_compilation_cache
+
+    enable_compilation_cache()  # cold 608^2 compiles cost minutes on the tunnel
     from sfa3d_tpu.cli.eval import main as eval_main
 
     ckpts = sorted(
