@@ -317,7 +317,16 @@ def plot_lr_schedule(lr_sched, num_epochs, steps_per_epoch, logs_dir, lr_type):
         import matplotlib.pyplot as plt
     except ImportError:
         return
-    ys = [float(lr_sched(e * steps_per_epoch)) for e in range(num_epochs)]
+    # One vmapped evaluation on the host CPU backend: optax schedules run
+    # op-by-op, and on a tunneled TPU every eager op pays a device round
+    # trip — a 300-epoch curve evaluated point-by-point costs minutes.
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        steps = jnp.arange(num_epochs) * steps_per_epoch
+        ys = np.asarray(jax.jit(jax.vmap(lr_sched))(steps), dtype=np.float64)
     plt.figure()
     plt.plot(ys, ".-", label="LR")
     plt.xlabel("epoch")
