@@ -198,6 +198,13 @@ def main():
             m = re.search(r"resumed from .*epoch (\d+)", line)
             if m:
                 resume_history.append(int(m.group(1)))
+    # a relaunch (e.g. --resume_tmp) that finds training ALREADY COMPLETE
+    # also logs "resumed from epoch <terminal>" — that is harness
+    # bookkeeping, not a mid-run recovery; record it separately so the
+    # artifact distinguishes one continuous run from a real kill+resume
+    # (ADVICE r4: readers couldn't tell which the curve came from)
+    relaunches_found_complete = [e for e in resume_history if e >= args.epochs]
+    resume_history = [e for e in resume_history if e < args.epochs]
     resumed_from = resume_history[-1] if resume_history else None
     if killed_at is not None:
         assert resumed_from is not None and resumed_from >= killed_at, (
@@ -278,6 +285,9 @@ def main():
         "killed_after_epoch": killed_at,
         "auto_resumed_from_epoch": resumed_from,
         "resume_history": resume_history,
+        # relaunches that found training already finished (no steps run);
+        # non-empty here does NOT mean the curve was produced by a resume
+        "relaunches_found_complete_at_epoch": relaunches_found_complete,
         "val_map_curve": curve,
         "best": best,
         "final": final,

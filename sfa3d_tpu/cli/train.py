@@ -9,6 +9,7 @@ process machinery is replaced by the device mesh (parallel/mesh.py).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -323,8 +324,14 @@ def plot_lr_schedule(lr_sched, num_epochs, steps_per_epoch, logs_dir, lr_type):
     import jax
     import jax.numpy as jnp
 
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        # jax_platforms can exclude cpu (e.g. --platform tpu); the curve is
+        # cheap enough as ONE jitted call on whatever the default device is,
+        # and a diagnostics PNG must never abort training
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
         steps = jnp.arange(num_epochs) * steps_per_epoch
         ys = np.asarray(jax.jit(jax.vmap(lr_sched))(steps), dtype=np.float64)
     plt.figure()
