@@ -5,6 +5,8 @@ import sys
 
 COMMANDS = {
     "train": ("sfa3d_tpu.cli.train", "KITTI training over the device mesh"),
+    "yolo-train": ("sfa3d_tpu.cli.yolo_train",
+                   "train the YOLOv8 camera detector (2D boxes)"),
     "test": ("sfa3d_tpu.cli.test", "inference + visualization on the test split"),
     "demo": ("sfa3d_tpu.cli.demo", "raw-drive video demo (front / two-sides)"),
     "track": ("sfa3d_tpu.cli.track", "3D multi-object tracking over a raw drive"),

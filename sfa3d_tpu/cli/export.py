@@ -87,15 +87,22 @@ def main(argv=None):
     if args.fused:
         from sfa3d_tpu.models.yolov8 import YOLOv8, load_yolo_variables
 
-        yolo = YOLOv8(scale="n")
         yolo_vars = load_yolo_variables(args.yolo_weights)
         if yolo_vars is None:
             import jax.numpy as jnp
 
+            yolo = YOLOv8(scale="n")
             yolo_vars = yolo.init(
                 jax.random.PRNGKey(1),
                 jnp.zeros((1, args.letterbox, args.letterbox, 3), jnp.float32),
             )
+        else:
+            # size the module from the checkpoint's own shapes (stock
+            # COCO-80 .pt or the framework's 3-class trained export)
+            nc = yolo_vars["params"]["detect"]["cv3_0_2"]["bias"].shape[0]
+            stem_w = yolo_vars["params"]["stem"]["conv"]["kernel"].shape[-1]
+            scale = {16: "n", 32: "s", 48: "m", 64: "l", 80: "x"}[int(stem_w)]
+            yolo = YOLOv8(scale=scale, num_classes=int(nc))
         exported, manifest = export_fused(
             model, variables, yolo, yolo_vars,
             batch=args.batch, platforms=platforms, max_points=max_points,

@@ -77,7 +77,7 @@ def main(argv=None):
     from sfa3d_tpu.fusion.pipeline import fuse_frame
     from sfa3d_tpu.geometry.calibration import KittiCalibration
     from sfa3d_tpu.models import create_model, load_variables
-    from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector, load_yolo_variables
+    from sfa3d_tpu.models.yolov8 import COCO_NAMES, YOLOv8Detector
     from sfa3d_tpu.pipeline import detect_frames
 
     args = parse_args(argv)
@@ -107,10 +107,8 @@ def main(argv=None):
         model = create_model(args.arch)
         variables = load_variables(args.pretrained_path, args.arch, model,
                                use_ema=args.use_ema)
-        yolo = YOLOv8Detector(
-            scale="n", variables=load_yolo_variables(args.yolo_weights),
-            imgsz=args.imgsz,
-        )
+        yolo = YOLOv8Detector.from_weights(args.yolo_weights,
+                                           imgsz=args.imgsz)
 
     dataset = KittiDataset(args.dataset_dir, mode="test", num_samples=args.num_samples)
     counts_before, counts_after = [], []

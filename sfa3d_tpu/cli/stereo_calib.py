@@ -51,10 +51,10 @@ def main(argv=None):
     yolo = None
     if args.run_yolo:
         # construct (and compile) once, not per frame
-        from sfa3d_tpu.models.yolov8 import YOLOv8Detector, load_yolo_variables
+        from sfa3d_tpu.models.yolov8 import YOLOv8Detector
 
-        yolo = YOLOv8Detector(scale="n", variables=load_yolo_variables(args.yolo_weights),
-                              imgsz=args.imgsz)
+        yolo = YOLOv8Detector.from_weights(args.yolo_weights,
+                                           imgsz=args.imgsz)
 
     n_ok = 0
     for sid in ids:

@@ -307,12 +307,17 @@ class FusedDetector:
         self.kfpn, self.kvars = base.model, base.variables
         self.imgsz = imgsz
 
-        self.yolo = YOLOv8(scale=yolo_scale, dtype=jdtype)
         if yolo_checkpoint:
             from sfa3d_tpu.models.yolov8 import load_yolo_variables
 
             self.yvars = load_yolo_variables(yolo_checkpoint, scale=yolo_scale)
+            # class count comes from the checkpoint (COCO-80 or the
+            # framework's own 3-class trained export)
+            nc = self.yvars["params"]["detect"]["cv3_0_2"]["bias"].shape[0]
+            self.yolo = YOLOv8(scale=yolo_scale, num_classes=int(nc),
+                               dtype=jdtype)
         else:
+            self.yolo = YOLOv8(scale=yolo_scale, dtype=jdtype)
             self.yvars = self.yolo.init(
                 jax.random.PRNGKey(1),
                 np.zeros((1, imgsz, imgsz, 3), np.float32), train=False,

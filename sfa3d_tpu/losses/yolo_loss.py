@@ -31,18 +31,22 @@ DFL_GAIN = 1.5
 
 
 def make_anchors(
-    imgsz: int, strides: Sequence[int] = STRIDES
+    imgsz, strides: Sequence[int] = STRIDES
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (anchor centers (A, 2) in per-level GRID units [x, y],
     stride per anchor (A,)). Levels concatenate in `strides` order, matching
-    models.yolov8.decode_predictions' level flattening (row-major H*W)."""
+    models.yolov8.decode_predictions' level flattening (row-major H*W).
+    `imgsz` is an int (square) or (h, w) — KITTI camera frames train on
+    rectangular (192, 640) canvases (data/yolo2d.py)."""
+    h, w = (imgsz, imgsz) if isinstance(imgsz, int) else imgsz
     points, strs = [], []
     for s in strides:
-        n = imgsz // s
-        xs = jnp.arange(n, dtype=jnp.float32) + 0.5
-        gy, gx = jnp.meshgrid(xs, xs, indexing="ij")
+        nh, nw = h // s, w // s
+        ys = jnp.arange(nh, dtype=jnp.float32) + 0.5
+        xs = jnp.arange(nw, dtype=jnp.float32) + 0.5
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
         points.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
-        strs.append(jnp.full((n * n,), float(s), jnp.float32))
+        strs.append(jnp.full((nh * nw,), float(s), jnp.float32))
     return jnp.concatenate(points, axis=0), jnp.concatenate(strs, axis=0)
 
 
@@ -184,7 +188,7 @@ def yolo_loss(
     gt_bboxes: jax.Array,     # (B, G, 4) xyxy in INPUT pixels
     gt_labels: jax.Array,     # (B, G) int
     gt_mask: jax.Array,       # (B, G) bool
-    imgsz: int,
+    imgsz=640,                # int or (h, w)
     topk: int = 10,
 ) -> Dict[str, jax.Array]:
     """v8 detection loss over the head's raw per-level outputs.
