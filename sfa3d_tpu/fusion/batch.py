@@ -120,6 +120,7 @@ def build_fused_pipeline(
     gaussian_sigma: float = 0.5,
     return_bev: bool = False,
     bev_size=(608, 608),
+    mesh=None,
 ):
     """Build the jitted batched fusion step.
 
@@ -134,6 +135,13 @@ def build_fused_pipeline(
     (__graft_entry__.dryrun_multichip); metric decode constants assume the
     production 608x608, so non-default sizes are for shape/compile checks
     only.
+
+    `mesh`: an optional 2-D dp x sp `jax.sharding.Mesh` ('data', 'spatial').
+    When given, the rasterized BEV and the camera images are sharded over
+    ('data', 'spatial') — batch over dp, feature-map ROWS over sp — so both
+    conv towers run as spatially-partitioned SPMD programs (XLA inserts the
+    halo exchanges). Decode/NMS/fusion stay data-parallel (their fixed-K
+    tensors have no spatial axis).
     """
     if mode not in ("nms", "weighted", "bayesian"):
         # match the host path's behavior (fusion/pipeline.py FUSION_MODES):
@@ -149,6 +157,13 @@ def build_fused_pipeline(
         gaussian_sigma=gaussian_sigma,
     )
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sfa3d_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+        spatial_rows = NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+
     @jax.jit
     def run(kfpn_vars, yolo_vars, points, valid, images, V2C, R0, P2,
             img_hw, lb_scale, lb_pad) -> Dict[str, Any]:
@@ -158,6 +173,9 @@ def build_fused_pipeline(
                 p, v, bev_height=bev_size[0], bev_width=bev_size[1]
             )
         )(points, valid)
+        if mesh is not None:
+            bev = jax.lax.with_sharding_constraint(bev, spatial_rows)
+            images = jax.lax.with_sharding_constraint(images, spatial_rows)
         outputs = kfpn_model.apply(kfpn_vars, bev, train=False)
         dets = decode(
             clamped_sigmoid(outputs["hm_cen"]),
