@@ -114,6 +114,19 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--keep_tmp", action="store_true")
+    ap.add_argument("--data_seed", type=int, default=0,
+                    help="population seed (two-seed replication support); "
+                         "the held-out root draws from data_seed + 700000")
+    ap.add_argument("--train_seed", type=int, default=None,
+                    help="forwarded to cli train --seed when set")
+    ap.add_argument("--overfit", action="store_true",
+                    help="geometry pin: evaluate on the TRAINING frames "
+                         "(val_root = train_root). A geometry bug anywhere "
+                         "in the target/decode/eval chain (like the round-4 "
+                         "x1.216 dim-inflation) caps this far below 1.0 — "
+                         "the test class that catches such bugs in minutes. "
+                         "Use with a small --frames_train and a high "
+                         "--min_final_map (e.g. 8 frames, gate 0.9)")
     ap.add_argument("--out", default=os.path.join(_ROOT, "ARGOVERSE_CHECK.json"))
     args = ap.parse_args()
 
@@ -123,11 +136,17 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="argocheck_")
     train_root = write_mini_argoverse(
-        os.path.join(tmp, "train"), n_frames=args.frames_train, seed=0
+        os.path.join(tmp, "train"), n_frames=args.frames_train,
+        seed=args.data_seed
     )
-    val_root = write_mini_argoverse(
-        os.path.join(tmp, "val"), n_frames=args.frames_val, seed=700000
-    )
+    if args.overfit:
+        val_root = train_root
+        args.frames_val = args.frames_train
+    else:
+        val_root = write_mini_argoverse(
+            os.path.join(tmp, "val"), n_frames=args.frames_val,
+            seed=args.data_seed + 700000
+        )
 
     cmd = [
         sys.executable, "-m", "sfa3d_tpu.cli", "train",
@@ -151,6 +170,8 @@ def main():
     if args.ema_decay:
         cmd += ["--ema_decay", str(args.ema_decay),
                 "--ema_tau", str(args.ema_tau)]
+    if args.train_seed is not None:
+        cmd += ["--seed", str(args.train_seed)]
     if args.cpu:
         cmd += ["--platform", "cpu"]
     env = dict(os.environ)
@@ -189,8 +210,11 @@ def main():
                         + sys.argv[1:]),
         "config": {k: getattr(args, k) for k in
                    ("frames_train", "frames_val", "epochs", "batch_size",
-                    "lr", "ema_decay", "ema_tau")},
-        "metric": "held-out rotated-BEV mAP in the Argoverse crop frame",
+                    "lr", "ema_decay", "ema_tau", "data_seed", "train_seed",
+                    "overfit")},
+        "metric": ("TRAIN-set rotated-BEV mAP (overfit geometry pin)"
+                   if args.overfit else
+                   "held-out rotated-BEV mAP in the Argoverse crop frame"),
         "val_curve": curve,
         "best": best,
         "final": curve[-1],

@@ -135,6 +135,21 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="plumbing-only: report but do not enforce the gate")
+    ap.add_argument("--yolo_weights", type=str, default=None,
+                    help="trained JAX-YOLOv8 .pt (cli yolo-train export): "
+                         "adds trained_camera_* rows where the camera "
+                         "detections come from the framework's OWN 2D "
+                         "detector on image_2 instead of the GT oracle")
+    ap.add_argument("--yolo_imgsz", type=str, default="192x640",
+                    help="'HxW' letterbox for the trained detector (must "
+                         "match its training canvas)")
+    ap.add_argument("--yolo_conf", type=float, default=0.25)
+    ap.add_argument("--merge_into", type=str, default=None,
+                    help="insert this run's rows as a named block into an "
+                         "existing report instead of overwriting it (e.g. "
+                         "--merge_into FUSION_CHECK.json "
+                         "--block_name held_out_confirmation)")
+    ap.add_argument("--block_name", type=str, default="held_out_confirmation")
     ap.add_argument("--out", default=os.path.join(_ROOT, "FUSION_CHECK.json"))
     args = ap.parse_args()
 
@@ -179,7 +194,8 @@ def main():
                              real[:, 0].astype(np.int32),
                              np.asarray(sfa2d_valid))
         lab = sample.labels[: int(sample.n_labels)]
-        frames.append((mask, real, scores, sfa2d, lab, calib.P2))
+        frames.append((mask, real, scores, sfa2d, lab, calib.P2,
+                       sample.img_path))
         gt = {"boxes": lab[:, 1:8], "classes": lab[:, 0].astype(int)}
         if sample.levels is not None:
             gt["difficulty"] = sample.levels[: int(sample.n_labels)]
@@ -191,7 +207,7 @@ def main():
     # camera draws (the deltas are a fraction of the seed noise of one draw)
     # plus one ERROR-FREE control draw
     dets_lidar = []
-    for mask, real, scores, _, _, _ in frames:
+    for mask, real, scores, _, _, _, _ in frames:
         dets_lidar.append({
             "boxes": real[mask][:, 1:8],
             "classes": real[mask][:, 0].astype(int),
@@ -202,7 +218,7 @@ def main():
     for seed in range(args.oracle_seed, args.oracle_seed + args.oracle_seeds):
         rng = np.random.default_rng(seed)
         dets_fused, dets_demote = [], []
-        for mask, real, scores, sfa2d, lab, P2 in frames:
+        for mask, real, scores, sfa2d, lab, P2, _ in frames:
             cb, cs, cc, cv = build_camera_oracle(
                 lab, P2, rng, conf=args.oracle_conf,
                 miss_prob=args.oracle_miss, n_fp=args.oracle_fp,
@@ -229,7 +245,7 @@ def main():
 
     rng = np.random.default_rng(args.oracle_seed)
     dets_perfect = []
-    for mask, real, scores, sfa2d, lab, P2 in frames:
+    for mask, real, scores, sfa2d, lab, P2, _ in frames:
         pb, ps, pc, pv = build_camera_oracle(
             lab, P2, rng, conf=args.oracle_conf, miss_prob=0.0,
             n_fp=0, jitter=0.0,
@@ -241,6 +257,52 @@ def main():
                              "classes": real[mask][:, 0].astype(int),
                              "scores": perfect_scores[mask]})
 
+    # --- trained-camera rows: the framework's OWN 2D detector replaces the
+    # oracle (deterministic — one row per rule, no seed averaging) ---------
+    dets_trained = None
+    if args.yolo_weights:
+        import cv2
+
+        from sfa3d_tpu.cli.yolo_train import parse_imgsz
+        from sfa3d_tpu.models.yolov8 import YOLOv8Detector
+
+        det2d = YOLOv8Detector.from_weights(
+            args.yolo_weights, imgsz=parse_imgsz(args.yolo_imgsz))
+        dets_trained = {"max": [], "demote": []}
+        n_cam_dets = 0
+        for mask, real, scores, sfa2d, lab, P2, img_path in frames:
+            img = cv2.imread(img_path)
+            if img is None:
+                raise FileNotFoundError(
+                    f"{img_path}: trained-camera rows need rendered image_2 "
+                    "frames (write_mini_kitti cameras=True)")
+            yb, ys, yc = det2d(cv2.cvtColor(img, cv2.COLOR_BGR2RGB),
+                               conf=args.yolo_conf)
+            k_slots = 32
+            cb = np.zeros((k_slots, 4), np.float32)
+            cs = np.zeros((k_slots,), np.float32)
+            cc = np.zeros((k_slots,), np.int32)
+            cv_ = np.zeros((k_slots,), bool)
+            n = min(len(yb), k_slots)
+            if n:
+                cb[:n] = np.asarray(yb, np.float32)[:n]
+                cs[:n] = np.asarray(ys, np.float32)[:n]
+                cc[:n] = np.asarray(yc, np.int32)[:n]
+                cv_[:n] = True
+            n_cam_dets += n
+            cam = DetectionSet(cb, cs, cc, cv_)
+            base = {"boxes": real[mask][:, 1:8],
+                    "classes": real[mask][:, 0].astype(int)}
+            dets_trained["max"].append({**base, "scores": np.asarray(
+                rescore_3d_from_camera(cam, sfa2d, scores,
+                                       args.fusion_iou))[mask]})
+            dets_trained["demote"].append({**base, "scores": np.asarray(
+                rescore_3d_from_camera(cam, sfa2d, scores, args.fusion_iou,
+                                       mode="demote",
+                                       demote=args.demote))[mask]})
+        print(f"trained camera: {n_cam_dets} detections over "
+              f"{len(frames)} frames")
+
     report = {
         "cmd": " ".join(["python", os.path.relpath(sys.argv[0], _ROOT)]
                         + sys.argv[1:]),
@@ -251,10 +313,12 @@ def main():
             "bbox_jitter": args.oracle_jitter, "seed": args.oracle_seed,
             "independent_draws_averaged": args.oracle_seeds,
             "demote": args.demote,
-            "why_oracle": "the JAX YOLOv8 ships untrained in this "
-                          "environment; the oracle is the controlled "
-                          "camera-information source with an honest error "
-                          "model (misses, jitter, false positives)",
+            "why_oracle": "the oracle is the CONTROLLED camera-information "
+                          "source with a known error model (misses, jitter, "
+                          "false positives) — kept as the controlled "
+                          "comparison next to the trained_camera_* rows, "
+                          "which use the framework's own cli yolo-train "
+                          "detector (YOLO_CHECK.json)",
         },
         "fusion_iou": args.fusion_iou,
         "camera_confirmed_detections": n_confirmed,
@@ -300,6 +364,26 @@ def main():
         }
         report[name] = row
         print(name, json.dumps(row))
+    if dets_trained is not None:
+        for key, name in (("max", "trained_camera_max_rule"),
+                          ("demote", "trained_camera_demote_rule")):
+            row = score(dets_trained[key])
+            row["delta_mAP"] = round(row["mAP"] - lidar["mAP"], 4)
+            row["delta_AP_car"] = round(
+                row["per_class"]["AP_1"] - lidar["per_class"]["AP_1"], 4)
+            row["delta_per_class"] = {
+                k: round(row["per_class"][k] - lidar["per_class"][k], 4)
+                for k in lidar["per_class"]}
+            report[name] = row
+            print(name, json.dumps(row))
+        report["trained_camera"] = {
+            "yolo_weights": os.path.abspath(args.yolo_weights),
+            "yolo_imgsz": args.yolo_imgsz, "yolo_conf": args.yolo_conf,
+            "note": "camera detections from the framework's OWN trained "
+                    "JAX YOLOv8 (cli yolo-train) — no oracle involved; "
+                    "deterministic, so single rows instead of seed averages",
+        }
+
     ref_car = report["reference_max_rule"]["delta_AP_car"]
     dem_map = report["monotone_demote_rule"]["delta_mAP"]
     report["reference_claim"] = (
@@ -327,10 +411,27 @@ def main():
         "(existence) without destroying the detector's localization "
         "ranking; it improves every class."
     )
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
-    print(f"wrote {args.out}: reference max-rule delta_AP_car {ref_car:+.4f}"
+    if args.merge_into:
+        # insert this run as a named block of an existing report (e.g. the
+        # held-out confirmation on fresh frames + fresh oracle seeds)
+        with open(args.merge_into) as f:
+            parent = json.load(f)
+        parent[args.block_name] = report
+        with open(args.merge_into, "w") as f:
+            json.dump(parent, f, indent=2)
+        print(f"merged into {args.merge_into} as '{args.block_name}'")
+    else:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {args.out}", end=": ")
+    print(f"reference max-rule delta_AP_car {ref_car:+.4f}"
           f" | monotone demote delta_mAP {dem_map:+.4f}")
+    if dets_trained is not None:
+        t_dem = report["trained_camera_demote_rule"]["delta_mAP"]
+        print(f"trained-camera demote delta_mAP {t_dem:+.4f}")
+        if t_dem <= 0 and not args.smoke:
+            print("FAIL: trained-camera monotone fusion did not improve mAP")
+            sys.exit(1)
     if dem_map <= 0 and not args.smoke:
         print("FAIL: monotone fusion did not improve mAP")
         sys.exit(1)
