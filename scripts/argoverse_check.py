@@ -93,7 +93,12 @@ def eval_ckpt(ckpt, val_root, n_val, peak_thresh, use_ema):
             "boxes": gt_rows[keep],
             "classes": lab[keep, 0].astype(int),
         })
-    return evaluate_kitti_ap(dets, gts, metric="bev")
+    # Argoverse class ids are {0: VEHICLE, 1: PEDESTRIAN, 2: BICYCLE}
+    # (config/argoverse.py) — the evaluator's DEFAULT per-class gates are
+    # KITTI-indexed ({0: Ped 0.5, 1: Car 0.7, ...}), which would judge
+    # vehicles at the pedestrian gate. Map the gates to the Argoverse ids.
+    return evaluate_kitti_ap(dets, gts, metric="bev",
+                             iou_thresholds={0: 0.7, 1: 0.5, 2: 0.5})
 
 
 def main():

@@ -79,6 +79,18 @@ def get_num_parameters(params) -> int:
 def clamped_sigmoid(x):
     """sigmoid clamped to [1e-4, 1 - 1e-4] (utils/torch_utils.py:44-45),
     computed in AT LEAST float32 (bf16 inputs upcast; f64 numerics-audit
-    inputs stay f64 — see scripts/spatial_parity_check.py)."""
+    inputs stay f64 — see scripts/spatial_parity_check.py).
+
+    The clamp is STRAIGHT-THROUGH: forward values match the reference's
+    torch.clamp exactly, but the backward keeps the plain sigmoid gradient.
+    torch.clamp's zero gradient outside the interval is a saturation TRAP
+    the reference inherits: a heatmap logit pushed below sigmoid^-1(1e-4)
+    (~-9.2) freezes — positives at that cell can never recover. Measured:
+    the Argoverse 8-frame overfit pin drove the Vehicle channel sub-floor
+    (prediction pinned at exactly 1e-4 at its own target peaks, recovery
+    gradient exactly 0) and Vehicle AP stuck at 0.0 while other classes hit
+    1.0. Deliberate gradient-only divergence (values identical; documented
+    in docs/TECHNICAL.md)."""
     dt = jnp.promote_types(x.dtype, jnp.float32)
-    return jnp.clip(jax.nn.sigmoid(x.astype(dt)), 1e-4, 1.0 - 1e-4)
+    p = jax.nn.sigmoid(x.astype(dt))
+    return p + jax.lax.stop_gradient(jnp.clip(p, 1e-4, 1.0 - 1e-4) - p)
