@@ -1,6 +1,6 @@
 """Benchmark: end-to-end KITTI frames/sec/chip for the FULL fusion pipeline
 (BASELINE.json metric + config #3): BEV raster -> KFPN -> decode -> metric
-boxes, YOLOv8n 640^2 -> DFL decode -> per-class NMS, 3D->2D projection,
+boxes, YOLOv8n 640x224 rect (ultralytics predict geometry) -> DFL decode -> per-class NMS, 3D->2D projection,
 Bayesian fusion (iou 0.7) + Gaussian soft-NMS (sigma 0.5) — one jit program
 per batch (fusion/batch.py).
 
@@ -29,8 +29,15 @@ import time
 
 import numpy as np
 
-# KITTI camera frames are ~(375, 1242); YOLOv8 letterboxes them to 640^2.
-IMG_H, IMG_W, LB = 375, 1242, 640
+# KITTI camera frames are ~(375, 1242). The reference's ultralytics
+# YOLO('yolov8n.pt') predict path letterboxes with MINIMAL stride-32
+# padding (LetterBox auto=True): 1242x375 @ imgsz 640 -> a 640x224 rect
+# canvas, NOT 640^2. The bench mirrors that exact geometry — a square 640
+# canvas would spend 2.9x the camera-branch FLOPs on gray padding the
+# reference never computes (rounds 1-4 over-paid this; fixed round 5).
+IMG_H, IMG_W = 375, 1242
+LB_W = 640
+LB_H = 224  # ceil(375 * 640/1242 / 32) * 32
 FUSED_BASELINE_FPS = 32.1  # reference README.md:226 (Bayesian + Gaussian NMS)
 SFA_BASELINE_FPS = 40.2  # reference README.md:223 (SFA3D only)
 
@@ -108,13 +115,15 @@ def make_camera(batch):
     from sfa3d_tpu.geometry.calibration import KittiCalibration
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, (batch, LB, LB, 3)).astype(np.float32))
+    images = jnp.asarray(
+        rng.uniform(0, 1, (batch, LB_H, LB_W, 3)).astype(np.float32))
     calib = KittiCalibration(None)
     tile = lambda m: jnp.asarray(
         np.tile(np.asarray(m, np.float32)[None], (batch, 1, 1))
     )
-    r = min(LB / IMG_H, LB / IMG_W)
-    pad_w, pad_h = (LB - round(IMG_W * r)) / 2, (LB - round(IMG_H * r)) / 2
+    r = min(LB_H / IMG_H, LB_W / IMG_W)
+    pad_w = (LB_W - round(IMG_W * r)) / 2
+    pad_h = (LB_H - round(IMG_H * r)) / 2
     img_hw = jnp.asarray(np.tile(np.float32([IMG_H, IMG_W]), (batch, 1)))
     lb_scale = jnp.full((batch,), r, jnp.float32)
     lb_pad = jnp.asarray(np.tile(np.float32([pad_w, pad_h]), (batch, 1)))
@@ -225,7 +234,7 @@ def bench_latency(args):
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
     yolo = YOLOv8(scale="n")
     yvars = yolo.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, LB, LB, 3), jnp.float32), train=False
+        jax.random.PRNGKey(1), jnp.zeros((1, LB_H, LB_W, 3), jnp.float32), train=False
     )
     fused = build_fused(kfpn, yolo)
     sfa = build_sfa_only(kfpn)
@@ -394,7 +403,7 @@ def main():
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
     yolo = YOLOv8(scale="n")
     yvars = yolo.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, LB, LB, 3), jnp.float32), train=False
+        jax.random.PRNGKey(1), jnp.zeros((1, LB_H, LB_W, 3), jnp.float32), train=False
     )
     fused = build_fused(kfpn, yolo)
     sfa = build_sfa_only(kfpn)
