@@ -88,3 +88,36 @@ def test_loss_gradient_flows(rng):
     for k, g in grads.items():
         assert np.isfinite(np.asarray(g)).all(), k
         assert np.abs(np.asarray(g)).max() > 0, k
+
+
+def test_clamped_sigmoid_straight_through_gradient():
+    """The clamp must not kill the recovery gradient (the saturation trap
+    the Argoverse overfit pin caught): a logit below sigmoid^-1(1e-4)
+    still clamps its VALUE to the floor, but a positive target at that
+    cell must receive a non-zero pull-up gradient. The reference's
+    torch.clamp freezes such cells forever (documented divergence,
+    docs/TECHNICAL.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sfa3d_tpu.models import clamped_sigmoid
+
+    x = jnp.float32(-12.0)  # sigmoid(-12) ~ 6e-6, far below the 1e-4 floor
+    # forward: clamped exactly to the floor (reference value parity;
+    # compare against the same f32 constant the clip uses)
+    assert float(clamped_sigmoid(x)) == float(np.float32(1e-4))
+    assert float(clamped_sigmoid(jnp.float32(12.0))) == float(
+        np.float32(1.0) - np.float32(1e-4))
+    # backward: plain sigmoid gradient survives the clamp
+    g = jax.grad(lambda t: clamped_sigmoid(t))(x)
+    expect = float(jax.grad(jax.nn.sigmoid)(x))
+    assert float(g) == expect and expect > 0
+    # focal loss at a sub-floor positive cell now pulls the logit UP
+    from sfa3d_tpu.losses.losses import focal_loss
+
+    hm_target = jnp.ones((1, 1, 1, 1), jnp.float32)
+    grad = jax.grad(
+        lambda logit: focal_loss(
+            clamped_sigmoid(jnp.full((1, 1, 1, 1), logit)), hm_target)
+    )(jnp.float32(-12.0))
+    assert float(grad) < 0, "positive cell must push the logit up"
