@@ -132,6 +132,10 @@ def main():
                          "the test class that catches such bugs in minutes. "
                          "Use with a small --frames_train and a high "
                          "--min_final_map (e.g. 8 frames, gate 0.9)")
+    ap.add_argument("--resume_tmp", type=str, default=None,
+                    help="previous run's tmp dir: reuse its data roots and "
+                         "auto-resume training from its latest checkpoint "
+                         "(tunnel-wedge recovery; same flags required)")
     ap.add_argument("--out", default=os.path.join(_ROOT, "ARGOVERSE_CHECK.json"))
     args = ap.parse_args()
 
@@ -139,7 +143,7 @@ def main():
 
     from sfa3d_tpu.data.argoverse import write_mini_argoverse
 
-    tmp = tempfile.mkdtemp(prefix="argocheck_")
+    tmp = args.resume_tmp or tempfile.mkdtemp(prefix="argocheck_")
     train_root = write_mini_argoverse(
         os.path.join(tmp, "train"), n_frames=args.frames_train,
         seed=args.data_seed
@@ -167,6 +171,9 @@ def main():
         "--num_workers", "2",
         "--lr", str(args.lr), "--lr_type", "cosin",
         "--root-dir", tmp, "--saved_fn", "argo",
+        # resume from the latest checkpoint after a kill/wedge relaunch
+        # (no-op on a fresh tmp: no checkpoint exists yet)
+        "--auto_resume",
         # persistent XLA cache: a repeat/resumed run skips the multi-minute
         # 608^2 train-step compile on the tunneled chip
         "--compilation_cache",
