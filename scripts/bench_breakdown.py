@@ -50,6 +50,11 @@ def main():
                          "exactly weight-transformable, bit-exact)")
     ap.add_argument("--mfu", action="store_true",
                     help="XLA-counted FLOPs + achieved TFLOP/s per stage")
+    ap.add_argument("--img_hw", type=int, nargs=2, default=[640, 640],
+                    metavar=("H", "W"),
+                    help="camera-branch canvas (rows cols); the reference's "
+                         "predict-mode letterbox of a 1242x375 KITTI frame "
+                         "at imgsz 640 is 224 640 (bench.py headline)")
     args = ap.parse_args()
 
     import jax
@@ -68,12 +73,13 @@ def main():
     kfpn = create_model("fpn_resnet_18", dtype=dt, s2d_stem=args.s2d,
                         fused_heads=args.fused_heads)
     kvars = init_detector(kfpn, jax.random.PRNGKey(0))
+    ih, iw = args.img_hw
     yolo = YOLOv8(scale="n", dtype=dt)
-    yvars = yolo.init(jax.random.PRNGKey(1), jnp.zeros((1, 640, 640, 3)), train=False)
+    yvars = yolo.init(jax.random.PRNGKey(1), jnp.zeros((1, ih, iw, 3)), train=False)
 
     pts, valid = make_points(b)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, (b, 640, 640, 3)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(0, 1, (b, ih, iw, 3)).astype(np.float32))
 
     timings = {}
 
@@ -145,6 +151,7 @@ def main():
         "batch": b,
         "dtype": args.dtype,
         "s2d_stem": args.s2d,
+        "img_hw": [ih, iw],
         "per_frame_ms": {k: round(v, 4) for k, v in per_frame.items()},
         "sum_ms": round(total, 4),
         "sum_fps": round(1000.0 / total, 1),
